@@ -1,0 +1,91 @@
+"""Benchmark: end-to-end ray-sample throughput of the full VANeRF query path.
+
+Runs the production-shaped training patch render (64x64 rays, 64 coarse +
+64+64 fine samples/ray, 256^2 source images, full mesh SDF/visibility +
+fusion + IBR pipeline) on the available accelerator and reports
+ray-samples/sec.
+
+Baseline: the reference publishes no throughput numbers (BASELINE.md); the
+north star from BASELINE.json is >=10M ray-samples/sec/chip on v5e, so
+``vs_baseline`` is value / 10e6.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from vanerf_tpu import config as vconfig
+    from vanerf_tpu.data import make_synthetic_batch
+    from vanerf_tpu.models import VANeRF
+    from vanerf_tpu.renderer import render_patch, mask_centered_grid
+
+    H = W = 256
+    out_hw = 64
+    spc = spf = 64
+
+    cfg = vconfig.default_cfg()
+    batch_np, _faces, num_v = make_synthetic_batch(
+        batch_size=1, H=H, W=W, subdiv=3)
+    batch = jax.tree.map(jnp.asarray, batch_np)
+    model = VANeRF.from_config(cfg, num_v=num_v)
+
+    rng = jax.random.PRNGKey(0)
+    B = batch["tar_k"].shape[0]
+    V2 = batch["verts"].shape[1]
+    n = 8
+    cam = {"KRT": batch["src_krt"], "extrin": batch["src_extrin"],
+           "width": W, "height": H, "znear": batch["znear"],
+           "zfar": batch["zfar"]}
+    def init_fn(rng, src_img, src_mask, verts, kpt3d, krt, extrin, zn, zf):
+        c = {"KRT": krt, "extrin": extrin, "width": W, "height": H,
+             "znear": zn, "zfar": zf}
+        return model.init(
+            rng, src_img, jnp.zeros((B, n, 3)), jnp.ones((B, n, 3)), c,
+            src_mask, verts, jnp.ones((B, V2, 1)), jnp.ones((B, n, 1)),
+            jnp.zeros((B, n, 1)), kpt3d, n)
+
+    # jitted init: eager dispatch is pathological over remote-TPU transports
+    params = jax.jit(init_fn)(
+        rng, batch["src_img"], batch["src_mask"], batch["verts"],
+        batch["kpt3d"], cam["KRT"], cam["extrin"], batch["znear"],
+        batch["zfar"])
+
+    def run(params, batch, rng):
+        grids = mask_centered_grid(rng, batch["tar_mask"][..., 0],
+                                   out_hw, out_hw)
+        out = render_patch(
+            model, params, batch, rng=rng, grids=grids,
+            out_h=out_hw, out_w=out_hw, sample_per_ray_c=spc,
+            sample_per_ray_f=spf, fine=True, training=False,
+            sdf_chunk=4096)
+        return out["tex_fg_fine"]
+
+    run_j = jax.jit(run)
+    img = run_j(params, batch, rng)
+    jax.block_until_ready(img)                       # compile + warm
+
+    iters = 5
+    t0 = time.perf_counter()
+    for i in range(iters):
+        img = run_j(params, batch, jax.random.PRNGKey(i))
+    jax.block_until_ready(img)
+    dt = (time.perf_counter() - t0) / iters
+
+    # coarse (64) + fine (64+64 sorted) full query-pipeline evaluations
+    samples = out_hw * out_hw * (spc + spc + spf) * B
+    rate = samples / dt
+    print(json.dumps({
+        "metric": "ray_samples_per_sec",
+        "value": round(rate, 1),
+        "unit": "ray-samples/s/chip",
+        "vs_baseline": round(rate / 10e6, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,100 @@
+"""Train / evaluate VANeRF-TPU — CLI-compatible with the reference.
+
+Usage (same flags as reference ``train.py``):
+  python train.py --config ./configs/vanerf.json                 # train
+  python train.py --config ./configs/vanerf.json --run_val \
+      --model_ckpt EXPERIMENTS/vanerf/ckpts                      # eval
+  python train.py --config ./configs/vanerf.json --num_gpus 4    # 4-chip DP
+
+Extra (TPU build): --synthetic_data runs on the built-in fixture so the
+whole pipeline can be exercised without InterHand2.6M.
+"""
+
+import os
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from vanerf_tpu import config as vconfig
+    from vanerf_tpu import losses as L
+    from vanerf_tpu.data import SyntheticDataset
+    from vanerf_tpu.models import VANeRF, DiscriminatorVis
+    from vanerf_tpu.training.checkpoints import CheckpointManager
+    from vanerf_tpu.training.loop import fit, collate_numpy, MetricLogger
+    from vanerf_tpu.training.train_step import (create_train_state,
+                                                make_train_step)
+
+    parser = vconfig.create_parser()
+    args = parser.parse_args()
+    cfg = vconfig.load_cfg(args.config)
+    cfg["dataset"]["data_root"] = args.data_root
+    if args.out_dir is not None:
+        cfg["out_dir"] = args.out_dir
+    cfg["expname"] = cfg.get("expname", "default")
+    save_dir = os.path.join(cfg["out_dir"], cfg["expname"])
+    vconfig.save_config(save_dir, cfg)
+
+    # ---- dataset ----
+    if args.synthetic_data:
+        ds_train = SyntheticDataset(n_frames=4, split="train")
+        ds_test = SyntheticDataset(n_frames=2, split="test")
+        faces = ds_train.faces
+        num_v = ds_train.num_v
+    else:
+        from vanerf_tpu.data.interhand import InterHandDataset
+        ds_train = InterHandDataset.from_config(cfg["dataset"], "train", cfg)
+        ds_test = InterHandDataset.from_config(cfg["dataset"], "test", cfg)
+        faces = ds_train.faces
+        num_v = ds_train.num_v
+
+    model = VANeRF.from_config(cfg, num_v=num_v)
+    disc = DiscriminatorVis()
+    rng = jax.random.PRNGKey(0)
+
+    collate = lambda items: collate_numpy(items, faces=faces)  # noqa: E731
+    sample_batch = collate([ds_train[0]])
+    n_views = cfg["dataset"].get("num_input_view", 1)
+    state, (tx_g, tx_d) = create_train_state(
+        model, disc, rng, sample_batch, cfg,
+        steps_per_epoch=len(ds_train), n_views=n_views)
+
+    # auto-resume (train.py:38-44 semantics)
+    ckpt_dir = os.path.join(save_dir, "ckpts")
+    mngr = CheckpointManager(args.model_ckpt or ckpt_dir)
+    restored, step = mngr.restore(state)
+    if restored is not None:
+        state = restored
+        print(f"Resumed from step {step}")
+
+    vgg = L.VGGLoss()
+    step_fn = make_train_step(model, disc, tx_g, tx_d, cfg, vgg,
+                              n_views=n_views)
+
+    if args.num_gpus != 1:
+        from vanerf_tpu.parallel import make_mesh, make_parallel_train_step
+        mesh = make_mesh(args.num_gpus)
+        step_fn = make_parallel_train_step(step_fn, mesh, sample_batch)
+    else:
+        step_fn = jax.jit(step_fn, donate_argnums=(0,))
+
+    if args.run_val:
+        from vanerf_tpu.eval_loop import run_test
+        run_test(model, state, ds_test, cfg, save_dir, n_views=n_views)
+        return
+
+    if args.profile_dir:
+        jax.profiler.start_trace(args.profile_dir)
+    state = fit(step_fn, state, ds_train, collate, cfg=cfg,
+                save_dir=save_dir, rng=jax.random.PRNGKey(1),
+                fast_dev_run=args.fast_dev_run)
+    if args.profile_dir:
+        jax.profiler.stop_trace()
+    print("Training done at step", int(state.step))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,16 @@
+"""vanerf_tpu — a TPU-native (JAX/XLA/Pallas) framework for generalizable
+visibility-aware NeRFs of interacting hands.
+
+Re-implements the full capability surface of the VANeRF reference
+(XuanHuang0/VANeRF, AAAI'24) with a TPU-first architecture:
+
+- pure-functional Flax models + one fused, jitted render step;
+- Pallas / XLA kernels for the mesh geometry queries (point-to-mesh SDF,
+  winding-number sign, z-buffer rasterization, KNN, bilinear sampling)
+  replacing the reference's kaolin / pytorch3d / spconv CUDA ops;
+- `jax.sharding.Mesh` + data-parallel train/render steps replacing
+  PyTorch-Lightning DDP / NCCL;
+- orbax checkpointing, optax GAN optimizers, deterministic input pipeline.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,358 @@
+"""InterHand2.6M dataset pipeline (CPU, numpy/PIL — no torch/cv2).
+
+Parity target: ``Dataset``/``TestDataset`` (reference ``src/dataset.py``),
+consuming the same on-disk layout produced by the offline preprocessor
+(``processed_dataset/{split}/{image,mask,densepose,annotation,index}`` +
+``cam_list.pth`` + the InterHand annotation JSONs) and reproducing the data
+semantics metric parity depends on:
+
+  * train view sampling: random source views + disjoint random target
+    (``dataset.py:392-402``); test: fixed per-`index_res` view-pair tables,
+    small vs big view variation (``dataset.py:406-420``);
+  * MANO forward per hand -> seal -> concat (our JAX layer), voxel
+    coords/out_sh, bounds (``dataset.py:208-361``);
+  * shared-seed color jitter across views (``dataset.py:113-120,455-459``);
+  * target-view mask erosion rules (``dataset.py:470-475``);
+  * mask-at-box + near/far from ray/AABB (``dataset.py:122-129,558-568``);
+  * split sizes 5423 / 8 / 1895 x input_per_frame (``dataset.py:364-370``).
+
+Output schema is the channels-last batch dict of
+:mod:`vanerf_tpu.renderer` (the synthetic fixture documents it).
+"""
+
+from __future__ import annotations
+
+import copy
+import json
+import os
+import os.path as osp
+import pickle
+import random
+from typing import Optional
+
+import numpy as np
+from PIL import Image
+
+from ..mano import load_mano_model, mano_forward, seal_verts_np
+from ..ops.ray import get_rays_np, get_near_far_np
+
+# fixed test view-pair tables (dataset.py:406-411)
+_INPUT_LIST_01_SMALL = {"0": [37, 44], "1": [8, 16], "2": [23, 25],
+                        "3": [41, 43], "4": [55, 56]}
+_INPUT_LIST_27_SMALL = {"0": [0, 3], "1": [1, 2], "2": [4, 5],
+                        "3": [8, 9], "4": [16, 17]}
+_INPUT_LIST_01_BIG = {"0": [0, 1], "1": [1, 2], "2": [2, 3],
+                      "3": [5, 6], "4": [11, 12]}
+_INPUT_LIST_27_BIG = {"0": [0, 3], "1": [0, 4], "2": [0, 6],
+                      "3": [4, 8], "4": [0, 13]}
+
+
+def color_jitter_np(img: np.ndarray, rng: np.random.RandomState) -> np.ndarray:
+    """Brightness/contrast/saturation/hue jitter with shared seed.
+
+    Approximates torchvision ColorJitter((0.2,2),(0.3,2),(0.2,2),(-0.5,0.5))
+    (``dataset.py:113-120``) in numpy.  Input/output uint8 HWC.
+    """
+    x = img.astype(np.float32) / 255.0
+    b = rng.uniform(0.2, 2.0)
+    c = rng.uniform(0.3, 2.0)
+    s = rng.uniform(0.2, 2.0)
+    h = rng.uniform(-0.5, 0.5)
+    x = np.clip(x * b, 0, 1)
+    mean = x.mean()
+    x = np.clip((x - mean) * c + mean, 0, 1)
+    grey = x.mean(-1, keepdims=True)
+    x = np.clip((x - grey) * s + grey, 0, 1)
+    # hue: rotate in a simple YIQ-ish space
+    if abs(h) > 1e-3:
+        theta = 2 * np.pi * h
+        cos, sin = np.cos(theta), np.sin(theta)
+        m = np.array([[0.299, 0.587, 0.114]] * 3, np.float32)
+        rot = m + cos * (np.eye(3, dtype=np.float32) - m) + sin * np.array(
+            [[0.0, -0.59, 0.59], [0.203, 0.0, -0.203], [-0.927, 0.927, 0.0]],
+            np.float32)
+        x = np.clip(x @ rot.T, 0, 1)
+    return (x * 255).astype(np.uint8)
+
+
+class InterHandDataset:
+    """Loader over the preprocessed InterHand2.6M layout."""
+
+    def __init__(self, split: str, data_root: Optional[str] = None,
+                 smplx_path: str = "smplx/models", **kwargs):
+        self.split = split
+        self.mode = "train" if split == "val" else split
+        self.input_per_frame = kwargs.get("input_per_frame_test", 1)
+        self.num_input_view = kwargs.get("num_input_view", 1)
+        self.if_color_jitter = kwargs.get("color_jitter", False)
+        self.big_view_variation = kwargs.get("big_view_variation", False)
+        self.max_len = kwargs.get("max_len", -1)
+        self.annot_path = osp.join(data_root or ".",
+                                   "InterHand2.6M/annotations")
+        self.processed = osp.join(data_root or ".", "processed_dataset")
+
+        self.mano = {
+            "right": load_mano_model(
+                osp.join(smplx_path, "mano", "MANO_RIGHT.pkl"), True),
+            "left": load_mano_model(
+                osp.join(smplx_path, "mano", "MANO_LEFT.pkl"), False),
+        }
+        jr_path = osp.join(smplx_path, "mano", "J_regressor_mano_ih26m.npy")
+        self.joint_regressor = (np.load(jr_path) if osp.exists(jr_path)
+                                else None)
+
+        self._loaded = False
+        # sealed two-hand topology: 779 verts/hand, shared across frames
+        _, fr = seal_verts_np(self.mano["right"].v_template,
+                              self.mano["right"].faces, "right")
+        _, fl = seal_verts_np(self.mano["left"].v_template,
+                              self.mano["left"].faces, "left")
+        self.faces = np.concatenate([fr, fl + 779], 0).astype(np.int32)
+        self.num_v = 779
+
+    def _lazy_load(self):
+        if self._loaded:
+            return
+        with open(osp.join(self.annot_path, self.mode,
+                           f"InterHand2.6M_{self.mode}_joint_3d.json")) as f:
+            self.joints = json.load(f)
+        with open(osp.join(
+                self.annot_path, self.mode,
+                f"InterHand2.6M_{self.mode}_MANO_NeuralAnnot.json")) as f:
+            self.manos = json.load(f)
+        cam_list_path = osp.join(self.processed, self.mode, "cam_list.pth")
+        self.cam_list = _load_torch_pickle(cam_list_path)
+        self._loaded = True
+
+    def __len__(self):
+        if self.max_len and self.max_len > 0:
+            return self.max_len
+        if self.split == "train":
+            return 5423
+        if self.split == "val":
+            return 8
+        return 1895 * self.input_per_frame
+
+    # ---------------- MANO / geometry -------------------------------------
+
+    def load_mano_two_hands(self, capture_id, frame_idx):
+        """MANO forward for both hands -> sealed world mesh + joints +
+        voxel coords (``dataset.py:251-361``)."""
+        meshes, joints = [], []
+        for hand in ("right", "left"):
+            ann = self.manos[str(capture_id)][str(frame_idx)][hand]
+            pose = np.asarray(ann["pose"], np.float32).reshape(-1)
+            shape = np.asarray(ann["shape"], np.float32).reshape(-1)
+            trans = np.asarray(ann["trans"], np.float32).reshape(-1)
+            verts, _ = mano_forward(self.mano[hand], shape, pose, trans)
+            verts = np.asarray(verts)
+            if self.joint_regressor is not None:
+                joints.append(self.joint_regressor @ verts)
+            else:
+                joints.append(verts[:21])
+            sealed, _ = seal_verts_np(verts, self.mano[hand].faces, hand)
+            meshes.append(sealed)
+        mesh = np.concatenate(meshes, 0).astype(np.float32)   # (1558, 3)
+        joint_world = np.concatenate(joints, 0).astype(np.float32)  # (42, 3)
+
+        min_xyz = mesh.min(0) - 0.05
+        max_xyz = mesh.max(0) + 0.05
+        bounds = np.stack([min_xyz, max_xyz], 0)
+
+        # voxel coords for the optional sparse-conv branch
+        dhw = mesh[:, [2, 1, 0]]
+        min_dhw = min_xyz[[2, 1, 0]]
+        voxel = 0.005
+        coord = np.round((dhw - min_dhw) / voxel).astype(np.int32)
+        out_sh = np.ceil((max_xyz[[2, 1, 0]] - min_dhw) / voxel).astype(
+            np.int32)
+        out_sh = (out_sh | 31) + 1
+        return joint_world, mesh, bounds, coord, out_sh
+
+    def load_human_bounds(self, capture_id, frame_idx):
+        """AABB of the unsealed both-hand mesh, z-padded
+        (``dataset.py:140-196``)."""
+        meshes = []
+        for hand in ("right", "left"):
+            try:
+                ann = self.manos[str(capture_id)][str(frame_idx)][hand]
+                pose = np.asarray(ann["pose"], np.float32).reshape(-1)
+                shape = np.asarray(ann["shape"], np.float32).reshape(-1)
+                trans = np.asarray(ann["trans"], np.float32).reshape(-1)
+                verts, _ = mano_forward(self.mano[hand], shape, pose, trans)
+                meshes.append(np.asarray(verts))
+            except Exception:
+                meshes.append(np.zeros((778, 3), np.float32))
+        xyz = np.concatenate(meshes, 0)
+        min_xyz = xyz.min(0)
+        max_xyz = xyz.max(0)
+        min_xyz[2] -= 0.05
+        max_xyz[2] += 0.05
+        return np.stack([min_xyz, max_xyz], 0)
+
+    # ---------------- view sampling ---------------------------------------
+
+    def select_views(self, all_input_view, capture_id, index_res,
+                     rng: random.Random):
+        """Train: random disjoint src/target; test: fixed pair tables."""
+        if self.mode == "train":
+            input_view = list(all_input_view)
+            rng.shuffle(input_view)
+            input_view = input_view[:self.num_input_view]
+            tar_pool = list(set(map(tuple, all_input_view))
+                            - set(map(tuple, input_view)))
+            tar_pool.sort()
+            rng.shuffle(tar_pool)
+            tar_view = tar_pool[0]
+            return [tuple(tar_view)] + [tuple(v) for v in input_view]
+        if not self.big_view_variation:
+            t01, t27 = _INPUT_LIST_01_SMALL, _INPUT_LIST_27_SMALL
+        else:
+            t01, t27 = _INPUT_LIST_01_BIG, _INPUT_LIST_27_BIG
+        table = (t01 if ("0" in str(capture_id) or "1" in str(capture_id))
+                 else t27)
+        pair = table[str(index_res)]
+        views = [tuple(all_input_view[i]) for i in pair]
+        return views
+
+    # ---------------- item assembly ---------------------------------------
+
+    def __getitem__(self, index: int):
+        try:
+            return self._getitem(index)
+        except Exception:
+            return None                     # None-tolerant loader semantics
+
+    def _getitem(self, index: int):
+        self._lazy_load()
+        index_res = 0
+        if self.mode == "test":
+            index_res = int(index % self.input_per_frame)
+            index = int((index - index_res) / self.input_per_frame)
+
+        with open(osp.join(self.processed, self.mode, "index",
+                           f"{index}.pkl"), "rb") as f:
+            data = pickle.load(f)
+        frame_idx = data["frame"]
+        capture_id = data["capture"]
+
+        kpt3d = np.asarray(
+            self.joints[str(capture_id)][str(frame_idx)]["world_coord"],
+            np.float32) / 1000.0
+        all_views = self.cam_list[frame_idx][capture_id]
+        rng = random.Random(index * 9973 + 7
+                            if self.mode == "train" else 7)
+        views = self.select_views(all_views, capture_id, index_res, rng)
+
+        jitter_rng = np.random.RandomState(rng.randint(0, 9000000))
+        imgs, masks, Ks, Rts, dps = [], [], [], [], []
+        for vi, (cam, _aid) in enumerate(views):
+            with open(osp.join(
+                    self.processed, self.mode, "annotation",
+                    f"capture{capture_id}/cam{cam}/frame{frame_idx}.pkl"),
+                    "rb") as f:
+                anno = pickle.load(f)
+            in_T = np.asarray(anno["camera"]["t"]).reshape(3)
+            in_R = np.asarray(anno["camera"]["R"]).reshape(3, 3)
+            in_K = np.asarray(anno["camera"]["in_K"])[:3, :3].astype(
+                np.float32)
+            base = osp.join(self.processed, self.mode)
+            rel = f"capture{capture_id}/cam{cam}/frame{frame_idx}.jpg"
+            img = np.asarray(Image.open(osp.join(base, "image", rel)))
+            mask = np.asarray(Image.open(osp.join(base, "mask", rel)))
+            mask = (mask >= 100).astype(np.uint8)
+            if mask.ndim == 3:
+                mask = mask[..., 0]
+            if self.mode == "train" and self.if_color_jitter:
+                st = jitter_rng.get_state()
+                img = color_jitter_np(img, jitter_rng)
+                jitter_rng.set_state(st)    # same jitter for every view
+            img = img.astype(np.float32) / 255.0
+            img[mask == 0] = 0
+            # target-view mask erosion (dataset.py:470-475)
+            if vi == 0:
+                thr = 0.03 if self.if_color_jitter else 0.1
+                mask = mask.copy()
+                mask[img[:, :, 1] <= thr] = 0
+                img[mask == 0] = 0
+            dp_path = osp.join(base, "densepose", rel)
+            if osp.exists(dp_path):
+                dp = np.asarray(Image.open(dp_path)).astype(np.float32) / 255.
+                dp[mask == 0] = 0
+            else:
+                dp = np.zeros_like(img)
+            imgs.append(img)
+            masks.append(mask.astype(np.float32)[..., None])
+            Ks.append(in_K)
+            Rts.append(np.concatenate(
+                [in_R, in_T.reshape(3, 1)], 1).astype(np.float32))
+            dps.append(dp)
+
+        H, W = imgs[0].shape[:2]
+        joint_world, mesh, _bounds_v, coord, out_sh = \
+            self.load_mano_two_hands(capture_id, frame_idx)
+        bounds = self.load_human_bounds(capture_id, frame_idx)
+
+        ray_o, ray_d = get_rays_np(H, W, Ks[0], Rts[0][:3, :3],
+                                   Rts[0][:3, 3])
+        near, far, mask_at_box = get_near_far_np(
+            bounds, ray_o.reshape(-1, 3).astype(np.float32),
+            ray_d.reshape(-1, 3).astype(np.float32))
+
+        def k44(K):
+            o = np.eye(4, np.float32)
+            o[:3, :3] = K
+            return o
+
+        def rt44(Rt):
+            o = np.eye(4, np.float32)
+            o[:3, :4] = Rt
+            return o
+
+        src = slice(1, None)
+        src_K4 = np.stack([k44(K) for K in Ks[src]])
+        src_Rt4 = np.stack([rt44(Rt) for Rt in Rts[src]])
+        return {
+            "src_img": np.stack(imgs[src]).astype(np.float32),
+            "src_mask": np.stack(masks[src]).astype(np.float32),
+            "src_krt": src_K4 @ src_Rt4,
+            "src_extrin": src_Rt4,
+            "tar_img": imgs[0],
+            "tar_mask": masks[0],
+            "tar_k": k44(Ks[0]),
+            "tar_rt": rt44(Rts[0]),
+            "input_densepose": dps[1] if len(dps) > 1 else dps[0],
+            "tar_densepose": dps[0],
+            "verts": mesh,
+            "kpt3d": (joint_world if self.joint_regressor is not None
+                      else kpt3d),
+            "bounds": bounds.astype(np.float32),
+            "znear": np.float32(near.min() if len(near) else 0.71),
+            "zfar": np.float32(far.max() if len(far) else 1.42),
+            "mask_at_box": mask_at_box.reshape(H, W).astype(np.float32),
+            "frame_index": frame_idx,
+            "cam_ind": views[0][0],
+            "human_idx": capture_id,
+        }
+
+    @classmethod
+    def from_config(cls, dataset_cfg: dict, data_split: str, cfg: dict):
+        """Reference factory semantics (``dataset.py:587-607``)."""
+        assert data_split in ("train", "val", "test", "test_visualize")
+        dc = copy.deepcopy(dataset_cfg)
+        if f"{data_split}_cfg" in dc:
+            dc.update(dc[f"{data_split}_cfg"])
+        split = "test" if data_split == "test_visualize" else data_split
+        return cls(split=split, **{k: v for k, v in dc.items()
+                                   if k not in ("val_cfg", "test_cfg")})
+
+
+def _load_torch_pickle(path):
+    """Load a torch-saved pickle (cam_list.pth) without importing torch if
+    possible; falls back to torch.load (cpu)."""
+    try:
+        import torch
+        return torch.load(path, map_location="cpu", weights_only=False)
+    except Exception:
+        with open(path, "rb") as f:
+            return pickle.load(f)

@@ -1,0 +1,67 @@
+"""Test/eval loop: full-image renders + metric aggregation + YAML report.
+
+Parity target: ``test_step``/``test_epoch_end`` (reference
+``src/model.py:575-597, 110-121``) — render each test frame at full
+resolution via the tiled renderer, score with the Evaluator, dump a
+``test_{name}_{epoch}_{step}.yml`` of means.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Optional
+
+import numpy as np
+import yaml
+
+import jax
+import jax.numpy as jnp
+
+from .evaluator import Evaluator
+from .renderer import render_full_image
+from .training.loop import collate_numpy
+
+
+def run_test(model, state, dataset, cfg: dict, save_dir: str,
+             n_views: int = 1, max_items: Optional[int] = None,
+             tag: Optional[str] = None):
+    test_dst_name = tag or cfg.get("test_dst_name", "test")
+    result_dir = os.path.join(save_dir, f"images_{test_dst_name}")
+    evaluator = Evaluator(result_dir)
+    faces = dataset.faces
+
+    params = state.params_g
+    scores = []
+    n = len(dataset) if max_items is None else min(max_items, len(dataset))
+    for i in range(n):
+        item = dataset[i]
+        if item is None:
+            continue
+        batch = collate_numpy([item], faces=faces)
+        H = int(batch["src_img"].shape[1])
+        level = max(1, int(math.log2(H)) - 5)   # 256 -> 3 (model.py:581)
+        out = render_full_image(
+            model, params, batch, level=level, n_views=n_views)
+        pred = np.clip(np.asarray(out["tex_fg_fine"])[0], 0.0, 1.0)
+        gt = np.asarray(batch["tar_img"])[0]
+        mask_at_box = np.asarray(batch["tar_mask"])[0, ..., 0] > 0
+        s = evaluator.compute_score(
+            pred, gt,
+            input_imgs=np.asarray(batch["src_img"]),
+            mask_at_box=mask_at_box,
+            human_idx=str(item.get("human_idx", 0)),
+            frame_index=str(item.get("frame_index", i)),
+            view_index=str(item.get("cam_ind", 0)))
+        scores.append(s)
+        print(f"[{i+1}/{n}]", {k: round(v, 4) for k, v in s.items()})
+
+    results = {k: float(np.nanmean([s[k] for s in scores]))
+               for k in scores[0]}
+    step = int(state.step)
+    path = os.path.join(save_dir, f"test_{test_dst_name}_0_{step}.yml")
+    with open(path, "w") as f:
+        yaml.dump(results, f)
+    print("Results saved in", path)
+    print(results)
+    return results

@@ -1,0 +1,241 @@
+"""JAX MANO layer: blend shapes + LBS as pure matmuls.
+
+TPU-native replacement for the torch ``smplx.create(..., 'mano')`` layer used
+throughout the reference (``src/dataset.py:26-32``, ``src/model.py:33-39``,
+``data_process/dataset_process.py``).  The forward is a handful of small
+matmuls + a 16-step kinematic chain, so it runs equally well inside the
+input pipeline (CPU) or under jit on device.
+
+Weight loading reads the original MANO_{RIGHT,LEFT}.pkl files (chumpy
+objects are unpickled through a stub — no chumpy dependency).  When the pkls
+are absent (they are license-gated downloads), a deterministic synthetic
+model with the real MANO dimensions (778 verts / 1538 faces / 16 joints) is
+generated so every downstream shape is exercised identically.
+
+Includes the left-hand shapedirs sign fix the reference applies
+(``dataset.py:29-32``) and the default-pose mean addition
+(smplx ``flat_hand_mean=False`` semantics).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import pickle
+from typing import Optional
+
+import numpy as np
+
+import jax.numpy as jnp
+
+N_VERTS = 778
+N_JOINTS = 16
+N_FACES = 1538
+
+# wrist ring used to seal the mesh watertight (dataset.py:35-52)
+SEAL_RING = np.array([108, 79, 78, 121, 214, 215, 279, 239, 234, 92, 38,
+                      122, 118, 117, 119, 120], dtype=np.int32)
+
+
+class _ChumpyStub:
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+
+
+class _ManoUnpickler(pickle.Unpickler):
+    def find_class(self, module, name):
+        if module.startswith("chumpy"):
+            return _ChumpyStub
+        return super().find_class(module, name)
+
+
+def _to_np(x):
+    if isinstance(x, _ChumpyStub):
+        return np.asarray(x.__dict__.get("x"))
+    if hasattr(x, "toarray"):
+        return np.asarray(x.toarray())
+    return np.asarray(x)
+
+
+@dataclasses.dataclass
+class ManoModel:
+    v_template: np.ndarray    # (778, 3)
+    shapedirs: np.ndarray     # (778, 3, 10)
+    posedirs: np.ndarray      # (778, 3, 135)
+    J_regressor: np.ndarray   # (16, 778)
+    weights: np.ndarray       # (778, 16)
+    faces: np.ndarray         # (1538, 3) int32
+    parents: np.ndarray       # (16,) int32
+    hands_mean: np.ndarray    # (45,)
+    is_rhand: bool
+    synthetic: bool = False
+
+
+def load_mano_model(path: str, is_rhand: bool,
+                    fix_left_shapedirs: bool = True) -> ManoModel:
+    """Load a MANO pkl. Falls back to :func:`synthetic_mano_model` when the
+    file is absent."""
+    if not os.path.exists(path):
+        return synthetic_mano_model(is_rhand)
+    with open(path, "rb") as f:
+        data = _ManoUnpickler(f, encoding="latin1").load()
+    m = ManoModel(
+        v_template=_to_np(data["v_template"]).astype(np.float32),
+        shapedirs=_to_np(data["shapedirs"]).astype(np.float32),
+        posedirs=_to_np(data["posedirs"]).astype(np.float32),
+        J_regressor=_to_np(data["J_regressor"]).astype(np.float32),
+        weights=_to_np(data["weights"]).astype(np.float32),
+        faces=_to_np(data["f"]).astype(np.int32),
+        parents=_to_np(data["kintree_table"])[0].astype(np.int32),
+        hands_mean=_to_np(data["hands_mean"]).astype(np.float32),
+        is_rhand=is_rhand,
+    )
+    m.parents[0] = 0
+    if not is_rhand and fix_left_shapedirs:
+        # smplx left-hand shapedirs bug fix (dataset.py:29-32): if the left
+        # pkl shipped right-hand shapedirs, flip the x axis of dim 0.
+        m.shapedirs = m.shapedirs.copy()
+        m.shapedirs[:, 0, :] *= -1
+    return m
+
+
+def synthetic_mano_model(is_rhand: bool) -> ManoModel:
+    """Deterministic stand-in with true MANO dimensions."""
+    rs = np.random.RandomState(42 if is_rhand else 43)
+    # template: elongated ellipsoid point cloud triangulated by fan strips
+    u = np.linspace(0, 2 * np.pi, 20)
+    rows = []
+    for i in range(39):
+        r = 0.5 * np.sin(np.pi * (i + 1) / 40)
+        zrow = (i + 1) / 40 - 0.5
+        for a in u[:-1]:
+            rows.append([r * np.cos(a), r * np.sin(a), zrow])
+    v = np.asarray(rows[:N_VERTS - 2], np.float32)
+    v = np.concatenate([v, [[0, 0, -0.5], [0, 0, 0.5]]], 0).astype(np.float32)
+    v *= np.array([[0.04, 0.025, 0.09]], np.float32)
+    if not is_rhand:
+        v = v * np.array([[-1, 1, 1]], np.float32)
+
+    # faces: triangulate the grid strips
+    faces = []
+    S = 19
+    for i in range(38):
+        for j in range(S):
+            a = i * S + j
+            b = i * S + (j + 1) % S
+            c = (i + 1) * S + j
+            d = (i + 1) * S + (j + 1) % S
+            faces.append([a, b, c])
+            faces.append([b, d, c])
+    faces = np.asarray(faces[:N_FACES], np.int32)
+
+    parents = np.array([0, 0, 1, 2, 0, 4, 5, 0, 7, 8, 0, 10, 11, 0, 13, 14],
+                       np.int32)
+    jreg = np.zeros((N_JOINTS, N_VERTS), np.float32)
+    for j in range(N_JOINTS):
+        idx = rs.choice(N_VERTS, 8, replace=False)
+        jreg[j, idx] = 1.0 / 8
+    w = rs.rand(N_VERTS, N_JOINTS).astype(np.float32) ** 4
+    w /= w.sum(1, keepdims=True)
+    return ManoModel(
+        v_template=v,
+        shapedirs=(rs.randn(N_VERTS, 3, 10) * 1e-3).astype(np.float32),
+        posedirs=(rs.randn(N_VERTS, 3, 135) * 1e-4).astype(np.float32),
+        J_regressor=jreg, weights=w, faces=faces, parents=parents,
+        hands_mean=np.zeros(45, np.float32), is_rhand=is_rhand,
+        synthetic=True,
+    )
+
+
+def rodrigues(rvec: jnp.ndarray) -> jnp.ndarray:
+    """Axis-angle (..., 3) -> rotation matrices (..., 3, 3)."""
+    theta = jnp.linalg.norm(rvec, axis=-1, keepdims=True)
+    theta = jnp.maximum(theta, 1e-8)
+    k = rvec / theta
+    kx, ky, kz = k[..., 0], k[..., 1], k[..., 2]
+    zero = jnp.zeros_like(kx)
+    K = jnp.stack([
+        jnp.stack([zero, -kz, ky], -1),
+        jnp.stack([kz, zero, -kx], -1),
+        jnp.stack([-ky, kx, zero], -1)], -2)
+    eye = jnp.eye(3, dtype=rvec.dtype)
+    t = theta[..., None]
+    return eye + jnp.sin(t) * K + (1 - jnp.cos(t)) * (K @ K)
+
+
+def mano_forward(model: ManoModel, betas: jnp.ndarray, pose: jnp.ndarray,
+                 trans: jnp.ndarray, flat_hand_mean: bool = False):
+    """MANO forward: shape blend + pose blend + LBS.
+
+    Args:
+      betas: (10,) shape coefficients.
+      pose:  (48,) axis-angle [global_orient(3), hand_pose(45)].
+      trans: (3,) translation.
+      flat_hand_mean: when False (smplx default used by the reference),
+        the hand mean pose is added to hand_pose.
+    Returns:
+      verts (778, 3), joints (16, 3).
+    """
+    vt = jnp.asarray(model.v_template)
+    sd = jnp.asarray(model.shapedirs)
+    pd = jnp.asarray(model.posedirs)
+    jreg = jnp.asarray(model.J_regressor)
+    lbs_w = jnp.asarray(model.weights)
+    parents = model.parents
+
+    pose = jnp.asarray(pose)
+    root = pose[:3]
+    hand = pose[3:]
+    if not flat_hand_mean:
+        hand = hand + jnp.asarray(model.hands_mean)
+    full_pose = jnp.concatenate([root, hand]).reshape(N_JOINTS, 3)
+
+    v_shaped = vt + jnp.einsum("vds,s->vd", sd, betas)
+    joints = jreg @ v_shaped                                  # (16, 3)
+
+    rots = rodrigues(full_pose)                               # (16, 3, 3)
+    pose_feat = (rots[1:] - jnp.eye(3)).reshape(-1)           # (135,)
+    v_posed = v_shaped + jnp.einsum("vdp,p->vd", pd, pose_feat)
+
+    # kinematic chain (static python loop over 16 joints -> unrolled in XLA)
+    transforms = [None] * N_JOINTS
+    for j in range(N_JOINTS):
+        R = rots[j]
+        if j == 0:
+            t = joints[j]
+        else:
+            t = joints[j] - joints[parents[j]]
+        A = jnp.concatenate(
+            [jnp.concatenate([R, t[:, None]], 1),
+             jnp.asarray([[0.0, 0.0, 0.0, 1.0]])], 0)
+        transforms[j] = A if j == 0 else transforms[parents[j]] @ A
+    A = jnp.stack(transforms)                                 # (16, 4, 4)
+    joints_posed = A[:, :3, 3]
+
+    # remove the rest-pose joint location (standard LBS correction)
+    j_h = jnp.concatenate([joints, jnp.zeros((N_JOINTS, 1))], 1)
+    correction = jnp.einsum("jab,jb->ja", A, j_h)             # (16, 4)
+    A = A.at[:, :3, 3].add(-correction[:, :3])
+
+    T = jnp.einsum("vj,jab->vab", lbs_w, A)                   # (778, 4, 4)
+    v_h = jnp.concatenate([v_posed, jnp.ones((N_VERTS, 1))], 1)
+    verts = jnp.einsum("vab,vb->va", T, v_h)[:, :3]
+    return verts + trans, joints_posed + trans
+
+
+def seal_verts_np(verts: np.ndarray, faces: np.ndarray, hand_type: str):
+    """Append the wrist-center vertex + 16 sealing faces
+    (reference ``dataset.py:35-52``).
+
+    Args:
+      verts: (778, 3); faces: (F, 3); hand_type: 'left'|'right'.
+    Returns:
+      verts (779, 3), faces (F+16, 3).
+    """
+    ring = SEAL_RING[::-1] if hand_type == "left" else SEAL_RING
+    center = verts[ring].mean(0, keepdims=True)
+    out_v = np.concatenate([verts, center], 0)
+    cid = len(out_v) - 1
+    new_faces = [[ring[i - 1], ring[i], cid] for i in range(len(ring))]
+    out_f = np.concatenate([faces, np.asarray(new_faces, faces.dtype)], 0)
+    return out_v, out_f

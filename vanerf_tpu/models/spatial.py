@@ -1,0 +1,108 @@
+"""Keypoint-relative spatial (positional) encoding — pure functions.
+
+Parity target: ``SpatialEncoder`` (reference ``src/spatial.py:4-134``).  The
+encoder has no learnable parameters, so it is a plain function here (the
+reference wraps it in an nn.Module only for the buffer).  All 9 ``sp_type``
+variants are supported; the shipped configs use ``rel_z_decay``
+(``configs/vanerf.json:51``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def position_embedding(x: jnp.ndarray, nlevels: int,
+                       scale: float = 1.0) -> jnp.ndarray:
+    """[x, sin(pi x), cos(pi x), sin(2 pi x), ...] (spatial.py:19-43)."""
+    if nlevels <= 0:
+        return x
+    vec = scale * np.pi * (2.0 ** np.arange(nlevels)).astype(np.float32)
+    y = x[..., None, :] * vec[:, None]                    # (..., L, C)
+    z = jnp.concatenate([jnp.sin(y), jnp.cos(y)], -1)     # (..., L, 2C)
+    z = z.reshape(*x.shape[:-1], -1)
+    return jnp.concatenate([x, z], -1)
+
+
+@dataclasses.dataclass(frozen=True)
+class SpatialEncoder:
+    sp_level: int = 3
+    sp_type: str = "rel_z_decay"
+    scale: float = 1.0
+    n_kpt: int = 42
+    sigma: float = 0.1
+    center: tuple = (0.0, 0.0, 0.0)
+
+    def get_dim(self) -> int:
+        """Output feature width (spatial.py:45-57)."""
+        if self.sp_type in ("z", "rel_z", "rel_z_decay"):
+            if "rel" in self.sp_type:
+                return (1 + 2 * self.sp_level) * self.n_kpt
+            return 1 + 2 * self.sp_level
+        if "xyz" in self.sp_type:
+            if "rel" in self.sp_type:
+                return (1 + 2 * self.sp_level) * 3 * self.n_kpt
+            return (1 + 2 * self.sp_level) * 3
+        return 0
+
+    def __call__(self, *, v, pts, z, xy, extrin, kpt3d=None, n_view=1,
+                 model_T=None):
+        """Encode query points (spatial.py:59-134).
+
+        Args:
+          v:   (B*V, N, 3) world points after view expansion.
+          pts: (B, N, 3) world points before view expansion.
+          z:   (B*V, N, 1) normalized depth.
+          xy:  (B*V, N, 2) normalized pixel coords.
+          extrin: (B*V, 4, 4) world->camera.
+          kpt3d: (B, K, 3) keypoints (for 'rel_*' variants).
+        Returns:
+          (B*V, N, dim) or None.
+        """
+        Rt = extrin
+        cxyz = v @ jnp.swapaxes(Rt[:, :3, :3], -1, -2) + Rt[:, None, :3, 3]
+        t = self.sp_type
+
+        if "rel" in t:
+            assert kpt3d is not None and kpt3d.shape[1] == self.n_kpt
+            k = jnp.repeat(kpt3d, n_view, axis=0) if n_view != 1 else kpt3d
+            kptxyz = k @ jnp.swapaxes(Rt[:, :3, :3], -1, -2) + Rt[:, None, :3, 3]
+
+        if t == "z":
+            return position_embedding(z, self.sp_level)
+        if t == "ixyz":
+            return position_embedding(
+                jnp.concatenate([xy, z], -1), self.sp_level)
+        if t == "cxyz":
+            return position_embedding(cxyz, self.sp_level)
+        if t == "wxyz":
+            c = jnp.asarray(self.center)
+            return position_embedding(
+                self.scale * (v - c[None, None]), self.sp_level)
+        if t == "rel_z":
+            dz = self.scale * (cxyz[:, :, None, 2:3] - kptxyz[:, None, :, 2:3])
+            return position_embedding(
+                dz.reshape(*dz.shape[:2], -1), self.sp_level)
+        if t == "rel_z_decay":
+            dz = self.scale * (cxyz[:, :, None, 2:3] - kptxyz[:, None, :, 2:3])
+            dxyz = cxyz[:, :, None] - kptxyz[:, None, :]
+            w = jnp.exp(-(dxyz ** 2).sum(-1, keepdims=True)
+                        / (2.0 * self.sigma ** 2))
+            w = w.reshape(*w.shape[:2], -1)                  # (BV, N, K)
+            out = position_embedding(
+                dz.reshape(*dz.shape[:2], -1), self.sp_level)  # (BV,N,(1+2L)K)
+            out = out.reshape(*out.shape[:2], -1, w.shape[-1]) * w[:, :, None]
+            return out.reshape(*out.shape[:2], -1)
+        if t == "rel_cxyz":
+            dxyz = self.scale * (cxyz[:, :, None] - kptxyz[:, None])
+            return position_embedding(
+                dxyz.reshape(*dxyz.shape[:2], -1), self.sp_level)
+        if t == "rel_wxyz":
+            k = jnp.repeat(kpt3d, n_view, axis=0) if n_view != 1 else kpt3d
+            dxyz = v[:, :, None] - k[:, None]
+            return position_embedding(
+                dxyz.reshape(*dxyz.shape[:2], -1), self.sp_level)
+        return None

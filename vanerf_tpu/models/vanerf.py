@@ -1,0 +1,304 @@
+"""VANeRF generator: encoders + visibility-aware fusion + SDF/IBR heads.
+
+Parity target: class ``VANeRF`` (reference ``src/model.py:604-1024``) — the
+per-point query pipeline (``model.py:748-957``) re-designed as one pure
+function over a statically-shaped (B, V, N) point batch.  The ray-marching
+loop around it lives in :mod:`vanerf_tpu.renderer`.
+
+Layout conventions (TPU-native): images/feature maps are channels-last
+(B, H, W, C); per-point tensors are (B, N, C) or (B, V, N, C); all view
+expansion uses `jnp.repeat` on the leading axis so (B*V, ...) tensors line
+up with per-view camera matrices exactly like the reference's `.view(-1,...)`.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.grid_sample import feat_sample_nhwc
+from .blocks import HGFilter, ResBlkEncoder, avg_pool2
+from .fusion import GeoVisFusion, TexVisFusion
+from .ibr import IBRRenderingHead
+from .mlp import MLPUNetFusion
+from .spatial import SpatialEncoder
+
+
+class VANeRF(nn.Module):
+    """The generator.
+
+    Attributes mirror ``configs/vanerf.json -> models.VANeRF``; use
+    :meth:`from_config` to build from a raw config dict.
+    """
+    sp_args: Any
+    geo_args: Any
+    mlp_geo_args: Any
+    tex_args: Any
+    gcompress_out: int = 24
+    ibr_in_channels: int = 37
+    ds_geo: int = 1
+    ds_tex: int = 1
+    num_v: int = 779
+    disable_fg_mask: bool = False
+    train_out_h: int = 64
+    train_out_w: int = 64
+    dr_level: int = 5
+
+    @classmethod
+    def from_config(cls, cfg: dict, num_v: int = 779) -> "VANeRF":
+        m = cfg["models"]["VANeRF"]
+        sp = dict(m["sp_args"])
+        mlp_geo = dict(m["mlp_geo_args"])
+        # n_dims1[0] is overwritten with the spatial-encoding width
+        # (reference model.py:624-625).
+        enc = SpatialEncoder(sp_level=sp["sp_level"], sp_type=sp["sp_type"],
+                             scale=sp["scale"], n_kpt=sp["n_kpt"],
+                             sigma=sp.get("sigma", 150.0))
+        nd = list(mlp_geo["n_dims1"])
+        nd[0] = enc.get_dim()
+        mlp_geo["n_dims1"] = nd
+        return cls(
+            num_v=num_v,
+            sp_args=sp,
+            geo_args=dict(m["geo_args"]),
+            mlp_geo_args=mlp_geo,
+            tex_args=dict(m["tex_args"]),
+            gcompress_out=m["mlp_tex_args"]["gcompress"]["out_ch"],
+            ds_geo=m.get("ds_geo", 0),
+            ds_tex=m.get("ds_tex", 0),
+            disable_fg_mask=m.get("disable_fg_mask", False),
+            train_out_h=m.get("train_out_h", 64),
+            train_out_w=m.get("train_out_w", 64),
+            dr_level=m.get("dr_level", 5),
+        )
+
+    def setup(self):
+        g = dict(self.geo_args)
+        self.geo_encoder = HGFilter(
+            n_stack=g.get("n_stack", 1), n_downsample=g.get("n_downsample", 4),
+            out_ch=g.get("out_ch", 64), out_ch_hd=g.get("out_ch_hd", 8),
+            hd=g.get("hd", False))
+        t = dict(self.tex_args)
+        self.tex_encoder = ResBlkEncoder(
+            out_ch=t.get("out_ch", 8), ngf=t.get("ngf", 16),
+            n_downsample=t.get("n_downsample", 3),
+            n_blocks=t.get("n_blocks", 4), n_upsample=t.get("n_upsample", 3),
+            norm=t.get("norm", "instance"))
+        self.sp_encoder = SpatialEncoder(
+            sp_level=self.sp_args["sp_level"], sp_type=self.sp_args["sp_type"],
+            scale=self.sp_args["scale"], n_kpt=self.sp_args["n_kpt"],
+            sigma=self.sp_args.get("sigma", 150.0))
+        mg = dict(self.mlp_geo_args)
+        self.mlp_geo = MLPUNetFusion(
+            n_dims1=tuple(mg["n_dims1"]), n_dims2=tuple(mg["n_dims2"]),
+            skip_dims=tuple(mg["skip_dims"]),
+            skip_layers=tuple(mg["skip_layers"]),
+            nl_layer=mg.get("nl_layer", "softplus"),
+            norm=mg.get("norm", "weight"),
+            pool_types=tuple(mg.get("pool_types", ("mean",))))
+        self.geo_vis_fusion = GeoVisFusion(num_v=self.num_v)
+        self.tex_vis_fusion = TexVisFusion(num_v=self.num_v)
+        self.ibr_compress_gfeat = nn.Dense(self.gcompress_out)
+        self.mlp_tex = IBRRenderingHead(in_channels=self.ibr_in_channels)
+        # learnable sigmoid-beta, init 0.1, clamped >= 2e-3 at use site
+        # (model.py:614, 879-882).
+        self.sigmoid_beta = self.param(
+            "sigmoid_beta", nn.initializers.constant(0.1), (1,))
+
+    # ------------------------------------------------------------------
+    # encoders (reference attach_geo_feat/attach_tex_feat, model.py:711-738)
+    # ------------------------------------------------------------------
+
+    def encode(self, im: jnp.ndarray):
+        """Run both encoders on source images.
+
+        Args:
+          im: (BV, H, W, 3) in [0, 1].
+        Returns:
+          feat_geo [coarse (BV,h8,w8,64), fine (BV,h2,w2,8)],
+          feat_tex (BV, h2, w2, 8).
+        """
+        im_g = im
+        for _ in range(self.ds_geo):
+            im_g = avg_pool2(im_g)
+        feat_geo = self.geo_encoder(2.0 * im_g - 1.0)
+        im_t = im
+        for _ in range(self.ds_tex):
+            im_t = avg_pool2(im_t)
+        feat_tex = self.tex_encoder(2.0 * im_t - 1.0)
+        return feat_geo, feat_tex
+
+    # ------------------------------------------------------------------
+    # per-point query (reference VANeRF.query, model.py:748-877)
+    # ------------------------------------------------------------------
+
+    def query(self, pts, view, cam, feat_geo, feat_tex, src_img, fg_mask,
+              verts, vert_vis, query_vis, query_sdf, kpt3d,
+              n_samples: int, n_views: int = 1, training: bool = False,
+              dropout_rng: Optional[jax.Array] = None):
+        """Evaluate (sdf_channel, radiance, rgb) at world points.
+
+        Args:
+          pts:  (B, N, 3) query points (N = rays * n_samples).
+          view: (B, N, 3) ray directions.
+          cam: dict with 'KRT' (BV,4,4), 'extrin' (BV,4,4), 'width',
+            'height', 'znear', 'zfar'.
+          feat_geo: [(BV,h,w,64), (BV,H2,W2,8)]; feat_tex: (BV,h2,w2,8).
+          src_img: (BV, H, W, 3); fg_mask: (BV, H, W, 1).
+          verts: (B, V2, 3); vert_vis: (B, V2, 1).
+          query_vis/query_sdf: (B, N, 1).
+          kpt3d: (B, K, 3).
+          n_samples: samples per ray (for the IBR view reshape).
+        Returns:
+          out (B, N, 5) = [sdf_ch, rad, rgb3], valid (B, N, 1).
+        """
+        B, N, _ = pts.shape
+        krt = cam["KRT"]
+        width, height = cam["width"], cam["height"]
+        znear, zfar = cam["znear"], cam["zfar"]
+
+        v = jnp.repeat(pts, n_views, axis=0) if n_views != 1 else pts
+
+        vh = v @ jnp.swapaxes(krt[:, :3, :3], -1, -2) + krt[:, None, :3, 3]
+        z = vh[..., 2:3]
+        xy = vh[..., :2] / z
+        xn = 2.0 * (xy[..., 0] / (width - 1.0)) - 1.0
+        yn = 2.0 * (xy[..., 1] / (height - 1.0)) - 1.0
+        xy = jnp.stack([xn, yn], -1)
+        z = 2.0 * (z - znear) / (zfar - znear) - 1.0
+
+        eps = 1e-2
+        mask_xy = (xy >= -1.0 - eps) & (xy <= 1.0 + eps)
+        mask_z = z >= -1.0
+        out_mask = (mask_xy[..., 0] & mask_xy[..., 1]
+                    & mask_z[..., 0])[..., None].astype(pts.dtype)
+        out_mask = out_mask.reshape(B, n_views, N, 1)
+
+        if self.disable_fg_mask:
+            all_ok = (out_mask > 0).all(1, keepdims=True)
+            out_mask = out_mask * all_ok
+        else:
+            fg_xy = feat_sample_nhwc(fg_mask, xy).reshape(B, n_views, N, 1)
+            ok = ((fg_xy > 0.1) & (out_mask > 0)).all(1, keepdims=True)
+            out_mask = out_mask * ok
+
+        if training and n_views > 1 and dropout_rng is not None:
+            # keep one random view always on, drop others with p=0.5
+            # (model.py:804-810).
+            k1, k2 = jax.random.split(dropout_rng)
+            drop = jnp.concatenate(
+                [jnp.ones((B, 1, N, 1)),
+                 (jax.random.uniform(k1, (B, n_views - 1, N, 1)) > 0.5)
+                 .astype(pts.dtype)], 1)
+            perm_scores = jax.random.uniform(k2, (B, n_views, N, 1))
+            order = jnp.argsort(perm_scores, axis=1)
+            drop = jnp.take_along_axis(drop, order, axis=1)
+            out_mask = out_mask * drop
+
+        # boundary-smooth pixel weights (model.py:813-821)
+        xyz01 = 0.5 * jnp.concatenate([xy, z], -1) + 0.5
+        dist_b = jnp.minimum(xyz01, 1.0 - xyz01)
+        pw = jax.nn.sigmoid(5.0 * (dist_b / 0.1 - 1.0))
+        pw = pw[..., 0] * pw[..., 1] * pw[..., 2]
+        pw = jax.lax.stop_gradient(pw.reshape(B, n_views, N, 1)) * out_mask
+        pix_weight = pw / (pw.sum(1, keepdims=True) + 1e-6)
+
+        feat_sampled = [
+            feat_sample_nhwc(f, xy) for f in feat_geo]       # (BV, N, C)
+
+        y = self.sp_encoder(
+            v=v, pts=pts, z=z, xy=xy, extrin=cam["extrin"],
+            kpt3d=kpt3d, n_view=n_views)                     # (BV, N, 294)
+        y = y.reshape(B, n_views, N, -1)
+
+        # project mesh vertices into the source views (model.py:845-853)
+        vert_rep = (jnp.repeat(verts, n_views, axis=0)
+                    if n_views != 1 else verts)
+        vvh = (vert_rep @ jnp.swapaxes(krt[:, :3, :3], -1, -2)
+               + krt[:, None, :3, 3])
+        vz = vvh[..., 2:3]
+        vxy = vvh[..., :2] / (vz + 1e-8)
+        vxn = 2.0 * (vxy[..., 0] / (width - 1.0)) - 1.0
+        vyn = 2.0 * (vxy[..., 1] / (height - 1.0)) - 1.0
+        vert_xy = jnp.stack([vxn, vyn], -1)                  # (BV, V2, 2)
+
+        vert_vis_rep = (jnp.repeat(vert_vis, n_views, axis=0)
+                        if n_views != 1 else vert_vis)
+        q_vis_rep = (jnp.repeat(query_vis, n_views, axis=0)
+                     if n_views != 1 else query_vis)
+        q_sdf_rep = (jnp.repeat(query_sdf, n_views, axis=0)
+                     if n_views != 1 else query_sdf)
+
+        fused = self.geo_vis_fusion(
+            vert_xy, feat_geo, feat_sampled, vert_rep, v, vert_vis_rep,
+            q_vis_rep, q_sdf_rep)                            # [(BV,N,64/8)]
+        fused = [f.reshape(B, n_views, N, -1) for f in fused]
+
+        out, valid, _latent_view, latent_fused = self.mlp_geo(
+            y, fused, out_mask, pix_weight)                  # out (B,N,2)
+
+        rgb = self._query_color(
+            vert_xy, vert_rep, vert_vis_rep, q_vis_rep, v, xy, view,
+            n_views, feat_tex, latent_fused, krt, src_img,
+            out_mask.reshape(B * n_views, N, 1), n_samples)
+        out = jnp.concatenate([out, rgb], -1)                # (B, N, 5)
+        return out, valid.astype(out.dtype)                  # valid (B, N, 1)
+
+    # ------------------------------------------------------------------
+    # IBR color query (reference query_color, model.py:884-957)
+    # ------------------------------------------------------------------
+
+    def _query_color(self, vert_xy, vert, vert_vis, query_vis, v, xy, view,
+                     n_views, feat_tex, latent_fused, krt, img, out_mask,
+                     n_samples):
+        BV, N, _ = v.shape
+        B = BV // n_views
+        img_xy = feat_sample_nhwc(img, xy)                   # (BV, N, 3)
+        pHW = N // n_samples
+
+        latent_fused = self.ibr_compress_gfeat(latent_fused)  # (B, N, 24)
+        lat_rep = (jnp.repeat(latent_fused, n_views, axis=0)
+                   if n_views != 1 else latent_fused)
+        view_rep = (jnp.repeat(view, n_views, axis=0)
+                    if n_views != 1 else view)
+
+        feat_xy = feat_sample_nhwc(feat_tex, xy)             # (BV, N, 8)
+        rgb_feat = self.tex_vis_fusion(
+            vert_xy, feat_tex, feat_xy, vert, v, vert_vis, query_vis,
+            img_xy, img, lat_rep)                            # (BV, N, 40)
+
+        inv_calib = jnp.linalg.inv(krt)                      # (BV, 4, 4)
+        cam_pos = inv_calib[:, :3, 3]                        # (BV, 3)
+        cam_rays = v - cam_pos[:, None]
+        cam_rays = cam_rays / (jnp.linalg.norm(cam_rays, axis=-1,
+                                               keepdims=True) + 1e-12)
+
+        ray_diff = view_rep - cam_rays                       # (BV, N, 3)
+        rd_norm = jnp.linalg.norm(ray_diff, axis=-1, keepdims=True)
+        rd_dot = (cam_rays * view_rep).sum(-1, keepdims=True)
+        rd_dir = ray_diff / jnp.clip(rd_norm, 1e-6)
+        ray_diff = jnp.concatenate([rd_dir, rd_dot], -1)     # (BV, N, 4)
+
+        def to_ibr(x):
+            C = x.shape[-1]
+            x = x.reshape(B, n_views, pHW, n_samples, C)
+            x = jnp.transpose(x, (0, 2, 3, 1, 4))
+            return x.reshape(B * pHW, n_samples, n_views, C)
+
+        out = self.mlp_tex(to_ibr(rgb_feat), to_ibr(ray_diff),
+                           to_ibr(out_mask))                 # (B*pHW, S, 3)
+        return out.reshape(B, N, 3)
+
+    def __call__(self, im, pts, view, cam, fg_mask, verts, vert_vis,
+                 query_vis, query_sdf, kpt3d, n_samples, n_views=1):
+        """Convenience joint forward (encode + query) for init/jit checks."""
+        feat_geo, feat_tex = self.encode(im)
+        return self.query(pts, view, cam, feat_geo, feat_tex, im, fg_mask,
+                          verts, vert_vis, query_vis, query_sdf, kpt3d,
+                          n_samples, n_views)
+
+    def get_beta(self, params=None):
+        return self.sigmoid_beta

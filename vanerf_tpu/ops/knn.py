@@ -1,0 +1,75 @@
+"""Brute-force nearest-neighbor queries against the MANO vertex cloud.
+
+TPU-native replacement for pytorch3d's CUDA ``knn_points`` as used by the
+reference's ``KNN_vis``/``KNN`` (``src/networks.py:27-41``, always K=1 against
+2x779 vertices).  The full (N, V) squared-distance matrix is expressed as a
+matmul (`-2 q @ v^T`) so the heavy term rides the MXU; the argmin runs on the
+VPU.  Static shapes throughout.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def nearest_vertex(query: jnp.ndarray, verts: jnp.ndarray,
+                   chunk: int = 4096) -> jnp.ndarray:
+    """Index of the nearest vertex for each query point.
+
+    Exact difference-form distance (the expanded ``||v||^2 - 2 q.v`` form
+    loses enough precision — bf16 MXU on TPU, fp32 cancellation elsewhere —
+    to flip argmins, which changes which vertex features feed the fusion
+    nets).  Chunked over queries so the (chunk, V, 3) temp stays on-chip.
+
+    Args:
+      query: (N, 3); verts: (V, 3).
+    Returns:
+      (N,) int32 argmin indices.
+    """
+    N = query.shape[0]
+    if N <= chunk:
+        d2 = jnp.sum((query[:, None] - verts[None]) ** 2, axis=-1)
+        return jnp.argmin(d2, axis=-1).astype(jnp.int32)
+    pad = (-N) % chunk
+    q = jnp.pad(query, ((0, pad), (0, 0))).reshape(-1, chunk, 3)
+    idx = jax.lax.map(
+        lambda qc: jnp.argmin(
+            jnp.sum((qc[:, None] - verts[None]) ** 2, axis=-1),
+            axis=-1).astype(jnp.int32), q)
+    return idx.reshape(-1)[:N]
+
+
+def knn_gather_1(query: jnp.ndarray, verts: jnp.ndarray,
+                 vert_feat: jnp.ndarray, vert_vis: jnp.ndarray,
+                 num_v: int, weight_by_vis: bool = True):
+    """K=1 nearest-vertex feature lookup for this-hand and other-hand.
+
+    Parity with ``networks.py:27-33`` (``KNN_vis``) /
+    ``networks.py:35-41`` (``KNN`` with weight_by_vis=False): the other-hand
+    ("toh") features are the vertex arrays rolled by `num_v` (one hand's
+    vertex count) so the *same* nearest index reads the mirrored hand.
+
+    Args:
+      query:     (B, N, 3) query points.
+      verts:     (B, V, 3) vertex positions, V = 2*num_v.
+      vert_feat: (B, V, C) per-vertex features.
+      vert_vis:  (B, V, 1) per-vertex visibility (0/1).
+      num_v:     vertices per hand.
+    Returns:
+      feat_knn (B, N, C), feat_knn_toh (B, N, C),
+      vis (B, N, 1), vis_toh (B, N, 1).
+    """
+    idx = jax.vmap(nearest_vertex)(query, verts)           # (B, N)
+    feat_toh = jnp.roll(vert_feat, -num_v, axis=1)
+    vis_toh = jnp.roll(vert_vis, -num_v, axis=1)
+
+    take = jax.vmap(lambda a, i: jnp.take(a, i, axis=0))
+    f = take(vert_feat, idx)
+    f_toh = take(feat_toh, idx)
+    v = take(vert_vis, idx)
+    v_toh = take(vis_toh, idx)
+    if weight_by_vis:
+        f = f * v
+        f_toh = f_toh * v_toh
+    return f, f_toh, v, v_toh

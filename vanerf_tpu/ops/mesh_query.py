@@ -1,0 +1,215 @@
+"""Point-to-mesh queries: exact distance, winding-number sign, visibility.
+
+TPU-native replacement for the reference's CUDA mesh ops
+(``src/lib/dataset/mesh_util.py:498-524`` built on kaolin
+``point_to_mesh_distance``/``check_sign`` and pytorch3d): one fused,
+statically-shaped XLA computation, batched over query chunks.  The sign is
+computed with generalized winding numbers (the robust inside/outside test the
+reference itself carries at ``src/lib/common/render_utils.py:28-108``), which
+handles interpenetrating two-hand meshes correctly.
+
+Hot-path structure (per chunk of points x all faces):
+  * exact point-triangle squared distance (Ericson region method, branchless
+    `where` chains -> VPU friendly),
+  * running min + argmin over faces,
+  * solid-angle accumulation for the winding number.
+XLA fuses the elementwise chain into the reductions so the (chunk, F)
+intermediates never round-trip HBM.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _dot(a, b):
+    return jnp.sum(a * b, axis=-1)
+
+
+def point_triangle_sq_dist(p: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray,
+                           c: jnp.ndarray) -> jnp.ndarray:
+    """Exact squared distance from points to triangles (broadcasting).
+
+    Args:
+      p, a, b, c: (..., 3) broadcast-compatible.
+    Returns:
+      (...,) squared distances.
+    """
+    ab = b - a
+    ac = c - a
+    ap = p - a
+
+    d1 = _dot(ab, ap)
+    d2 = _dot(ac, ap)
+    bp = p - b
+    d3 = _dot(ab, bp)
+    d4 = _dot(ac, bp)
+    cp = p - c
+    d5 = _dot(ab, cp)
+    d6 = _dot(ac, cp)
+
+    va = d3 * d6 - d5 * d4
+    vb = d5 * d2 - d1 * d6
+    vc = d1 * d4 - d3 * d2
+
+    denom_face = va + vb + vc
+    v_face = vb / jnp.where(denom_face == 0, 1.0, denom_face)
+    w_face = vc / jnp.where(denom_face == 0, 1.0, denom_face)
+
+    # Region tests (Ericson, Real-Time Collision Detection 5.1.5).
+    in_vert_a = (d1 <= 0) & (d2 <= 0)
+    in_vert_b = (d3 >= 0) & (d4 <= d3)
+    in_vert_c = (d6 >= 0) & (d5 <= d6)
+    in_edge_ab = (vc <= 0) & (d1 >= 0) & (d3 <= 0)
+    in_edge_ac = (vb <= 0) & (d2 >= 0) & (d6 <= 0)
+    in_edge_bc = (va <= 0) & ((d4 - d3) >= 0) & ((d5 - d6) >= 0)
+
+    eps = 1e-20
+    t_ab = d1 / jnp.maximum(d1 - d3, eps)
+    t_ac = d2 / jnp.maximum(d2 - d6, eps)
+    t_bc = (d4 - d3) / jnp.maximum((d4 - d3) + (d5 - d6), eps)
+
+    q = a + v_face[..., None] * ab + w_face[..., None] * ac
+    q = jnp.where(in_edge_bc[..., None], b + t_bc[..., None] * (c - b), q)
+    q = jnp.where(in_edge_ac[..., None], a + t_ac[..., None] * ac, q)
+    q = jnp.where(in_edge_ab[..., None], a + t_ab[..., None] * ab, q)
+    q = jnp.where(in_vert_c[..., None], c, q)
+    q = jnp.where(in_vert_b[..., None], b, q)
+    q = jnp.where(in_vert_a[..., None], a, q)
+
+    d = p - q
+    return _dot(d, d)
+
+
+def _solid_angle(p, a, b, c):
+    """Van Oosterom-Strackee solid angle of triangle (a,b,c) seen from p.
+
+    Parity with reference ``render_utils.py:28-77`` (atan2 form, robust).
+    """
+    r1 = a - p
+    r2 = b - p
+    r3 = c - p
+    n1 = jnp.linalg.norm(r1, axis=-1)
+    n2 = jnp.linalg.norm(r2, axis=-1)
+    n3 = jnp.linalg.norm(r3, axis=-1)
+    num = _dot(r1, jnp.cross(r2, r3))
+    den = (n1 * n2 * n3 + _dot(r1, r2) * n3 + _dot(r1, r3) * n2
+           + _dot(r2, r3) * n1)
+    return 2.0 * jnp.arctan2(num, den)
+
+
+def _chunk_query(pts_chunk, tri_a, tri_b, tri_c, with_winding):
+    """(P, 3) points vs (F, 3) triangle corners -> min dist/argmin/winding."""
+    p = pts_chunk[:, None, :]                       # (P, 1, 3)
+    d2 = point_triangle_sq_dist(p, tri_a[None], tri_b[None], tri_c[None])
+    idx = jnp.argmin(d2, axis=-1).astype(jnp.int32)
+    dmin = jnp.take_along_axis(d2, idx[:, None], axis=-1)[:, 0]
+    if with_winding:
+        omega = _solid_angle(p, tri_a[None], tri_b[None], tri_c[None])
+        winding = omega.sum(-1) / (4.0 * jnp.pi)
+    else:
+        winding = jnp.zeros_like(dmin)
+    return dmin, idx, winding
+
+
+@partial(jax.jit, static_argnames=("chunk", "with_winding"))
+def point_mesh_query(points: jnp.ndarray, triangles: jnp.ndarray,
+                     chunk: int = 2048, with_winding: bool = True):
+    """Exact point->mesh distance, closest-face index and winding number.
+
+    Args:
+      points:    (N, 3) query points.
+      triangles: (F, 3, 3) face corner positions.
+      chunk:     points per inner tile (static; bounds the (chunk, F) temps).
+    Returns:
+      sq_dist (N,), face_idx (N,) int32, winding (N,).
+    """
+    N = points.shape[0]
+    pad = (-N) % chunk
+    pts = jnp.pad(points, ((0, pad), (0, 0)))
+    pts = pts.reshape(-1, chunk, 3)
+    ta, tb, tc = triangles[:, 0], triangles[:, 1], triangles[:, 2]
+
+    d2, idx, w = jax.lax.map(
+        lambda pc: _chunk_query(pc, ta, tb, tc, with_winding), pts)
+    return (d2.reshape(-1)[:N], idx.reshape(-1)[:N], w.reshape(-1)[:N])
+
+
+def winding_number(points: jnp.ndarray, triangles: jnp.ndarray,
+                   chunk: int = 2048) -> jnp.ndarray:
+    """Generalized winding number of each point w.r.t. the mesh."""
+    _, _, w = point_mesh_query(points, triangles, chunk=chunk)
+    return w
+
+
+def barycentric_of_projection(points: jnp.ndarray,
+                              tri: jnp.ndarray) -> jnp.ndarray:
+    """Barycentric coords of each point's projection onto its triangle.
+
+    Parity with ``mesh_util.py:321-356`` (Heidrich JGT'05).
+    Args:
+      points: (N, 3); tri: (N, 3, 3).
+    Returns:
+      (N, 3) weights (1-b1-b2, b1, b2).
+    """
+    v0, v1, v2 = tri[:, 0], tri[:, 1], tri[:, 2]
+    u = v1 - v0
+    v = v2 - v0
+    n = jnp.cross(u, v)
+    s = _dot(n, n)
+    s = jnp.where(s == 0, 1e-6, s)
+    w = points - v0
+    b2 = _dot(jnp.cross(u, w), n) / s
+    b1 = _dot(jnp.cross(w, v), n) / s
+    return jnp.stack([1.0 - b1 - b2, b1, b2], axis=-1)
+
+
+def point_mesh_sdf(verts: jnp.ndarray, faces: jnp.ndarray,
+                   points: jnp.ndarray, chunk: int = 2048):
+    """Signed distance (negative inside) + closest face per query point.
+
+    Parity with ``mesh_util.py:498-511``: sqrt(residual + 1e-6) distance,
+    sign = -1 inside (winding > 0.5), +1 outside.
+
+    Args:
+      verts: (V, 3); faces: (F, 3) int; points: (N, 3).
+    Returns:
+      sdf (N,), face_idx (N,) int32.
+    """
+    tri = verts[faces]                                   # (F, 3, 3)
+    d2, idx, w = point_mesh_query(points, tri, chunk=chunk)
+    dist = jnp.sqrt(d2 + 1e-6)
+    sign = jnp.where(w > 0.5, -1.0, 1.0)
+    return dist * sign, idx
+
+
+def cal_vis_sdf(verts: jnp.ndarray, faces: jnp.ndarray, points: jnp.ndarray,
+                vert_vis: jnp.ndarray, chunk: int = 2048):
+    """SDF + interpolated visibility + closest-face ids per query point.
+
+    Functional parity with ``cal_vis_sdf_batch`` (``mesh_util.py:498-524``)
+    minus the vertex-visibility rasterization, which is computed once per
+    view by :func:`vanerf_tpu.ops.rasterize.vertex_visibility` and passed in
+    (the reference recomputes it inside every SDF call; hoisting it is pure
+    win and bit-equivalent).
+
+    Args:
+      verts: (V, 3) fused two-hand mesh vertices (world).
+      faces: (F, 3) int faces.
+      points: (N, 3) query points.
+      vert_vis: (V, 1) per-vertex visibility in the source view.
+    Returns:
+      sdf (N,), query_vis (N, 1) float 0/1, closest_face (N, 3) int32
+      (vertex ids of the closest face).
+    """
+    sdf, face_idx = point_mesh_sdf(verts, faces, points, chunk=chunk)
+    closest_face = faces[face_idx]                       # (N, 3)
+    tri = verts[closest_face]                            # (N, 3, 3)
+    bary = barycentric_of_projection(points, tri)        # (N, 3)
+    vis_tri = vert_vis[closest_face][..., 0]             # (N, 3)
+    q_vis = (vis_tri * bary).sum(-1)
+    query_vis = (q_vis >= 1e-1).astype(verts.dtype)[:, None]
+    return sdf, query_vis, closest_face.astype(jnp.int32)

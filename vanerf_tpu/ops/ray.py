@@ -1,0 +1,138 @@
+"""Camera rays and ray/AABB intersection.
+
+Replaces the reference's numpy loaders (``src/dataset.py:609-658``) and the
+per-sample python loop in ``VANeRF.ray_bbox_intersection``
+(``src/model.py:1496-1570``) with a fully batched, statically-shaped JAX
+implementation suitable for `vmap`/`jit` on TPU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ------------------------- numpy (input pipeline) --------------------------
+
+def get_rays_np(H: int, W: int, K: np.ndarray, R: np.ndarray, T: np.ndarray):
+    """Per-pixel world rays, numpy (parity: ``dataset.py:609-623``)."""
+    rays_o = -np.dot(R.T, T).ravel()
+    i, j = np.meshgrid(np.arange(W, dtype=np.float32),
+                       np.arange(H, dtype=np.float32), indexing="xy")
+    xy1 = np.stack([i, j, np.ones_like(i)], axis=2)
+    pixel_camera = np.dot(xy1, np.linalg.inv(K).T)
+    pixel_world = np.dot(pixel_camera - T.ravel(), R)
+    rays_d = pixel_world - rays_o[None, None]
+    rays_o = np.broadcast_to(rays_o, rays_d.shape)
+    return rays_o, rays_d
+
+
+def get_near_far_np(bounds: np.ndarray, ray_o: np.ndarray, ray_d: np.ndarray,
+                    boffset=(-0.01, 0.01)):
+    """Ray/AABB near-far via the 6-plane method (``dataset.py:625-658``)."""
+    bounds = bounds + np.array([boffset[0], boffset[1]])[:, None]
+    nominator = bounds[None] - ray_o[:, None]
+    ray_d = ray_d.copy()
+    ray_d[np.abs(ray_d) < 1e-5] = 1e-5
+    d_intersect = (nominator / ray_d[:, None]).reshape(-1, 6)
+    p_intersect = d_intersect[..., None] * ray_d[:, None] + ray_o[:, None]
+    min_x, min_y, min_z, max_x, max_y, max_z = bounds.ravel()
+    eps = 1e-6
+    p_mask_at_box = ((p_intersect[..., 0] >= (min_x - eps))
+                     * (p_intersect[..., 0] <= (max_x + eps))
+                     * (p_intersect[..., 1] >= (min_y - eps))
+                     * (p_intersect[..., 1] <= (max_y + eps))
+                     * (p_intersect[..., 2] >= (min_z - eps))
+                     * (p_intersect[..., 2] <= (max_z + eps)))
+    mask_at_box = p_mask_at_box.sum(-1) == 2
+    p_intervals = p_intersect[mask_at_box][p_mask_at_box[mask_at_box]].reshape(-1, 2, 3)
+    ray_om = ray_o[mask_at_box]
+    norm_ray = np.linalg.norm(ray_d[mask_at_box], axis=1)
+    d0 = np.linalg.norm(p_intervals[:, 0] - ray_om, axis=1) / norm_ray
+    d1 = np.linalg.norm(p_intervals[:, 1] - ray_om, axis=1) / norm_ray
+    near = np.minimum(d0, d1)
+    far = np.maximum(d0, d1)
+    return near, far, mask_at_box
+
+
+# ------------------------------ JAX (on device) ----------------------------
+
+def _ray_bbox_single(bounds: jnp.ndarray, orig: jnp.ndarray,
+                     direct: jnp.ndarray, boffset=(-0.01, 0.01)):
+    """Per-camera ray/AABB intersection, vectorized over rays.
+
+    Implements the same 6-plane "exactly two hits" algorithm as
+    ``model.py:1514-1561`` (including its eps semantics and the |t| distance
+    convention), without the python batch loop and with static shapes.
+
+    Args:
+      bounds: (2, 3) AABB [min, max].
+      orig:   (1, 3) ray origin.
+      direct: (N, 3) ray directions.
+    Returns:
+      near (N, 1), far (N, 1), hit (N, 1) bool.
+    """
+    bounds = bounds + jnp.asarray([boffset[0], boffset[1]],
+                                  dtype=bounds.dtype)[:, None]
+    d = jnp.where(jnp.abs(direct) < 1e-5, 1e-5, direct)          # (N, 3)
+    t = (bounds[None] - orig) / d[:, None]                        # (N, 2, 3)
+    t = t.reshape(-1, 6)                                          # (N, 6)
+    p = t[..., None] * d[:, None] + orig[:, None]                 # (N, 6, 3)
+    eps = 1e-6
+    lo, hi = bounds[0], bounds[1]
+    inside = jnp.all((p >= lo - eps) & (p <= hi + eps), axis=-1)  # (N, 6)
+    hit = inside.sum(-1) == 2                                     # (N,)
+    # |t| * ||d|| / ||d|| == |t|  (reference computes ||p-o||/||d||)
+    ta = jnp.abs(t)
+    near = jnp.min(jnp.where(inside, ta, jnp.inf), axis=-1)
+    far = jnp.max(jnp.where(inside, ta, -jnp.inf), axis=-1)
+    near = jnp.where(hit, near, 1.0)
+    far = jnp.where(hit, far, 1.0)
+    return near[:, None], far[:, None], hit[:, None]
+
+
+def ray_bbox_intersection(bounds: jnp.ndarray, orig: jnp.ndarray,
+                          direct: jnp.ndarray, boffset=(-0.01, 0.01)):
+    """Batched ray/AABB intersection (parity: ``model.py:1496-1570``).
+
+    Args:
+      bounds: (B, 2, 3); orig: (B, 1, 3); direct: (B, N, 3).
+    Returns:
+      near (B, N, 1), far (B, N, 1), hit (B, N, 1).
+    """
+    return jax.vmap(lambda b, o, d: _ray_bbox_single(b, o, d, boffset))(
+        bounds, orig, direct)
+
+
+def pixel_grid_rays(grids: jnp.ndarray, K: jnp.ndarray, RT: jnp.ndarray,
+                    znear, zfar):
+    """World-space rays for a batch of pixel grids.
+
+    Parity with ``model.py:1203-1213``: homogeneous pixel coords through
+    inv(K), rotated to world by R, origin = -R^T t; z bounds are scaled by
+    the per-pixel ray norm to convert plane depths to ray distances.
+
+    Args:
+      grids: (B, P, 2) float pixel coordinates (x, y).
+      K:  (B, 4, 4) or (B, 3, 3) intrinsics.
+      RT: (B, 4, 4) or (B, 3, 4) extrinsics [R|t].
+      znear, zfar: scalars or (B,)-broadcastable.
+    Returns:
+      cam_pos (B, 1, 3), cam_rays (B, P, 3) unit, znear_rays (B, P, 1),
+      zfar_rays (B, P, 1).
+    """
+    ones = jnp.ones_like(grids[..., :1])
+    grids_h = jnp.concatenate([grids, ones], -1)
+    inv_K = jnp.linalg.inv(K[:, :3, :3])
+    inv_K_t = jnp.swapaxes(inv_K, -1, -2)
+    cam_rays = grids_h @ inv_K_t
+    znear = jnp.asarray(znear, dtype=grids.dtype).reshape(-1, 1, 1)
+    zfar = jnp.asarray(zfar, dtype=grids.dtype).reshape(-1, 1, 1)
+    znear_rays = jnp.linalg.norm(znear * cam_rays, axis=-1, keepdims=True)
+    zfar_rays = jnp.linalg.norm(zfar * cam_rays, axis=-1, keepdims=True)
+    R = RT[:, :3, :3]
+    cam_rays = cam_rays @ R
+    cam_rays = cam_rays / (jnp.linalg.norm(cam_rays, axis=-1, keepdims=True) + 1e-12)
+    cam_pos = -(RT[:, None, :3, 3] @ R)  # (B, 1, 3)
+    return cam_pos, cam_rays, znear_rays, zfar_rays

@@ -1,0 +1,328 @@
+"""Ray-marching renderer: patch render (training) and tiled full-image render.
+
+Parity target: ``VANeRF.batch_render_pifu_nerf`` (reference
+``src/model.py:1102-1422``) and the stride-tiled full-image path
+``render_pifu_nerf`` (``model.py:1026-1100``).
+
+TPU-first redesign:
+  * the whole patch render — grid construction, rays, AABB clip, stratified
+    sampling, mesh SDF/visibility queries, the query MLP stack, compositing,
+    importance resampling and the fine pass — is ONE pure function that jits
+    into a single XLA program with static shapes;
+  * the reference's per-sample python loops (``model.py:1279, 1376, 1514``)
+    are `vmap`s;
+  * the per-view vertex-visibility rasterization is hoisted out of the SDF
+    query (the reference recomputes it for coarse and fine passes;
+    it only depends on the mesh + source view);
+  * the full-image render reassembles stride^2 patch outputs exactly like the
+    reference's pixel_shuffle (``model.py:1082-1085``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .ops.composite import rgba2out
+from .ops.mesh_query import cal_vis_sdf
+from .ops.rasterize import vertex_visibility, render_vis_map
+from .ops.ray import pixel_grid_rays, ray_bbox_intersection
+from .ops.sampling import importance_sample, stratified_sample
+
+
+# ---------------------------------------------------------------------------
+# pixel grids
+# ---------------------------------------------------------------------------
+
+def mask_centered_grid(rng, mask, out_h: int, out_w: int):
+    """Random mask-centered out_h x out_w pixel grid (training patches).
+
+    Parity with ``model.py:1172-1189``: pick a random foreground pixel as the
+    center, lay an out_h x out_w grid around it, clamp to the image.
+
+    Args:
+      rng: PRNG key.
+      mask: (B, H, W) float foreground mask of the target image.
+    Returns:
+      (B, out_h*out_w, 2) float pixel coords (x, y).
+    """
+    B, H, W = mask.shape
+
+    def one(key, m):
+        p = m.reshape(-1)
+        p = p / jnp.maximum(p.sum(), 1e-6)
+        flat = jax.random.choice(key, H * W, p=p)
+        cy = (flat // W).astype(jnp.float32)
+        cx = (flat % W).astype(jnp.float32)
+        ys, xs = jnp.meshgrid(jnp.arange(out_h, dtype=jnp.float32),
+                              jnp.arange(out_w, dtype=jnp.float32),
+                              indexing="ij")
+        g = jnp.stack([xs, ys], -1).reshape(-1, 2)
+        g = g + jnp.stack([cx, cy]) - out_h // 2
+        return jnp.clip(g, 0, min(W - 1, H - 1))
+
+    keys = jax.random.split(rng, B)
+    return jax.vmap(one)(keys, mask)
+
+
+def strided_grid(B: int, H: int, W: int, level: int, stride):
+    """Strided full-image subsampling grid (eval tiles, ``model.py:1191-1198``).
+
+    Args:
+      level: render level; the grid covers every 2^(level-1)-th pixel.
+      stride: (B, 2) int offsets [x, y] (or scalar).
+    Returns:
+      (B, out_h*out_w, 2) float pixel coords, out_h = H // 2^(level-1).
+    """
+    s = 2 ** (level - 1)
+    ys, xs = jnp.meshgrid(jnp.arange(0, H, s, dtype=jnp.float32),
+                          jnp.arange(0, W, s, dtype=jnp.float32),
+                          indexing="ij")
+    g = jnp.stack([xs, ys], -1).reshape(1, -1, 2)
+    g = jnp.broadcast_to(g, (B,) + g.shape[1:])
+    stride = jnp.asarray(stride, dtype=jnp.float32).reshape(B, 1, 2)
+    return g + stride
+
+
+def gather_pixels(img: jnp.ndarray, index: jnp.ndarray, out_h: int,
+                  out_w: int) -> jnp.ndarray:
+    """Gather image pixels at flat grid indices -> (B, out_h, out_w, C).
+
+    Parity with the `th.gather` blocks at ``model.py:1361-1418`` (channels
+    last here).
+    """
+    B, H, W, C = img.shape
+    flat = img.reshape(B, H * W, C)
+    out = jnp.take_along_axis(flat, index[..., None].astype(jnp.int32), axis=1)
+    return out.reshape(B, out_h, out_w, C)
+
+
+# ---------------------------------------------------------------------------
+# the core render
+# ---------------------------------------------------------------------------
+
+def render_patch(model, params, batch: Dict[str, Any], *, rng,
+                 grids: jnp.ndarray, out_h: int, out_w: int,
+                 sample_per_ray_c: int = 64, sample_per_ray_f: int = 64,
+                 fine: bool = True, uniform: bool = False,
+                 rand_noise_std: float = 0.0, training: bool = False,
+                 nml_scale: float = 100.0, vis_size: int = 256,
+                 n_views: int = 1, sdf_chunk: int = 2048):
+    """Render one (out_h x out_w) ray patch end-to-end.
+
+    Args:
+      model/params: the VANeRF flax module + variables.
+      batch: dict with (channels-last) entries:
+        'src_img' (BV,H,W,3), 'src_mask' (BV,H,W,1),
+        'src_krt'/'src_extrin' (BV,4,4), 'tar_k'/'tar_rt' (B,4,4),
+        'tar_img' (B,H,W,3) [optional], 'tar_mask' (B,H,W,1) [optional],
+        'verts' (B,V2,3), 'faces' (F,3), 'kpt3d' (B,K,3),
+        'bounds' (B,2,3), 'znear','zfar' scalars,
+        'input_densepose'/'tar_densepose' (B,H,W,3) [optional].
+      grids: (B, P, 2) pixel grid (from mask_centered_grid / strided_grid).
+    Returns:
+      out dict mirroring ``model.py:1299-1421`` (channels-last images).
+    """
+    src_img = batch["src_img"]
+    B = batch["tar_k"].shape[0]
+    H, W = src_img.shape[1:3]
+    znear, zfar = batch["znear"], batch["zfar"]
+    faces = batch["faces"]
+    verts = batch["verts"]
+    P = grids.shape[1]
+
+    rngs = jax.random.split(rng, 4)
+
+    feat_geo, feat_tex = model.apply(params, src_img, method=model.encode)
+
+    cam_in = {
+        "KRT": batch["src_krt"], "extrin": batch["src_extrin"],
+        "width": W, "height": H, "znear": znear, "zfar": zfar,
+    }
+
+    # rays through the target camera (model.py:1203-1213)
+    cam_pos, cam_rays, znear_rays, zfar_rays = pixel_grid_rays(
+        grids, batch["tar_k"], batch["tar_rt"], znear, zfar)
+
+    z1, z2, hit = ray_bbox_intersection(batch["bounds"], cam_pos, cam_rays)
+    m1 = (hit & (z1 > znear_rays)).astype(grids.dtype)
+    znear_rays = m1 * z1 + (1.0 - m1) * znear_rays
+    m2 = (hit & (z2 < zfar_rays)).astype(grids.dtype)
+    zfar_rays = m2 * z2 + (1.0 - m2) * zfar_rays
+
+    z = stratified_sample(znear_rays, zfar_rays, sample_per_ray_c,
+                          rng=rngs[0], uniform=uniform or not training)
+
+    # vertex visibility in the source view (hoisted out of the SDF query):
+    # project verts with the FIRST source view per sample (model.py:1244-1255)
+    src_krt_b = batch["src_krt"].reshape(B, n_views, 4, 4)[:, 0]
+    vh = (verts @ jnp.swapaxes(src_krt_b[:, :3, :3], -1, -2)
+          + src_krt_b[:, None, :3, 3])
+    v_z = vh[..., 2:3]
+    v_xy = vh[..., :2] / (v_z + 1e-8)
+    v_xy01 = jnp.stack([v_xy[..., 0] / (W - 1.0),
+                        v_xy[..., 1] / (H - 1.0)], -1)
+    v_z01 = (v_z - znear) / (zfar - znear)
+    vert_vis = jax.vmap(
+        lambda xy, vz: vertex_visibility(xy, vz, faces, size=vis_size))(
+        v_xy01, v_z01)                                        # (B, V2, 1)
+
+    beta = params["params"]["sigmoid_beta"]
+
+    def query_at(z_depths, n_samples, key):
+        """Sample points at depths, run mesh queries + the network."""
+        pts = cam_pos[:, :, None] + cam_rays[:, :, None] * z_depths[..., None]
+        pts = pts.reshape(B, -1, 3)                           # (B, P*S, 3)
+        view = jnp.broadcast_to(cam_rays[:, :, None, :],
+                                (B, P, n_samples, 3)).reshape(B, -1, 3)
+
+        sdf, q_vis, _cface = jax.vmap(
+            lambda vt, p, vv: cal_vis_sdf(vt, faces, p, vv, chunk=sdf_chunk))(
+            verts, pts, vert_vis)
+        q_sdf = sdf[..., None]                                # (B, N, 1)
+
+        out, valid = model.apply(
+            params, pts, view, cam_in, feat_geo, feat_tex, src_img,
+            batch["src_mask"], verts, vert_vis, q_vis, q_sdf,
+            batch["kpt3d"], n_samples, n_views, training,
+            method=model.query)
+
+        # eval_func (model.py:1140-1160)
+        sdf_ch = valid * out[..., 0:1] + (1.0 - valid) * (0.1 / nml_scale)
+        rad = out[..., 1:2]
+        rgb = out[..., 2:]
+        if rand_noise_std > 0.0 and training:
+            rad = rad + jax.random.normal(key, rad.shape) * rand_noise_std
+        alpha = valid * jax.nn.relu(rad)
+        return alpha[..., 0], sdf_ch[..., 0], rgb, q_sdf[..., 0]
+
+    # ---- coarse pass ----
+    alpha_c, sdf_c, rgb_c, qsdf_c = query_at(z, sample_per_ray_c, rngs[1])
+    shp = (B, P, sample_per_ray_c)
+    color, depth, acc, contrib, sdf_out = rgba2out(
+        alpha_c.reshape(shp), sdf_c.reshape(shp),
+        rgb_c.reshape(shp + (3,)), z, qsdf_c.reshape(shp), beta)
+
+    out = {
+        "tex_fg": color.reshape(B, out_h, out_w, 3),
+        "depth": depth.reshape(B, out_h, out_w),
+        "alpha": acc.reshape(B, out_h, out_w),
+    }
+
+    # ---- fine pass (model.py:1301-1360) ----
+    if fine:
+        z_mid = 0.5 * (z[..., 1:] + z[..., :-1])
+        z_new = importance_sample(
+            jax.lax.stop_gradient(contrib[..., 1:-1]), z_mid,
+            sample_per_ray_f, rng=rngs[2], uniform=uniform or not training)
+        z_fine = jnp.sort(jnp.concatenate([z, z_new], -1), -1)
+        n_fine = sample_per_ray_c + sample_per_ray_f
+        alpha_f, sdf_f, rgb_f, qsdf_f = query_at(z_fine, n_fine, rngs[3])
+        shp = (B, P, n_fine)
+        color_f, depth_f, acc_f, _, sdf_out_f = rgba2out(
+            alpha_f.reshape(shp), sdf_f.reshape(shp),
+            rgb_f.reshape(shp + (3,)), z_fine, qsdf_f.reshape(shp), beta)
+        out.update({
+            "tex_fg_fine": color_f.reshape(B, out_h, out_w, 3),
+            "depth_fine": depth_f.reshape(B, out_h, out_w),
+            "alpha_fine": acc_f.reshape(B, out_h, out_w),
+            "sdf": sdf_out_f.reshape(B, out_h, out_w),
+        })
+
+    # ---- gather GT/context patches at the grid (model.py:1361-1418) ----
+    index = (grids[..., 0] + grids[..., 1] * W).astype(jnp.int32)
+    if batch.get("tar_img") is not None:
+        out["tar_img"] = gather_pixels(batch["tar_img"], index, out_h, out_w)
+    if batch.get("tar_mask") is not None:
+        out["tar_alpha"] = gather_pixels(
+            batch["tar_mask"], index, out_h, out_w)
+
+    # GT visibility map in the target view (model.py:1375-1389)
+    tar_k, tar_rt = batch["tar_k"], batch["tar_rt"]
+    vis_rgb, vis_map = jax.vmap(
+        lambda vt, vv, k, rt: render_vis_map(vt, faces, vv, k, rt, H, W))(
+        verts, vert_vis, tar_k, tar_rt)
+    out["vis_img_all"] = vis_map                                # (B,1,H,W)
+    vis_map_hwc = jnp.transpose(vis_map, (0, 2, 3, 1))
+    out["vis_img"] = gather_pixels(vis_map_hwc, index, out_h, out_w)
+
+    src_mask_b = batch["src_mask"].reshape(B, n_views, H, W, 1)[:, 0]
+    out["input_mask"] = gather_pixels(src_mask_b, index, out_h, out_w)
+    src_img_b = src_img.reshape(B, n_views, H, W, 3)[:, 0]
+    out["img_in"] = gather_pixels(src_img_b, index, out_h, out_w)
+
+    for k in ("input_densepose", "tar_densepose"):
+        if batch.get(k) is not None:
+            out[k] = gather_pixels(batch[k], index, out_h, out_w)
+
+    out["vert_vis"] = vert_vis
+    out["index"] = index
+    return out
+
+
+# ---------------------------------------------------------------------------
+# full-image tiled render (eval)
+# ---------------------------------------------------------------------------
+
+def render_full_image(model, params, batch, *, level: int,
+                      sample_per_ray_c: int = 64, sample_per_ray_f: int = 64,
+                      n_views: int = 1, rng=None, sdf_chunk: int = 2048):
+    """Render the full target image by stride^2 interleaved patch passes.
+
+    Parity with ``render_pifu_nerf`` (``model.py:1026-1100``): each pass
+    renders every s-th pixel at offset (j, i); passes are reassembled by
+    inverse pixel-shuffle.  Deterministic (uniform sampling, no noise).
+
+    Returns the merged out dict with full-resolution images.
+    """
+    B = batch["tar_k"].shape[0]
+    H, W = batch["src_img"].shape[1:3]
+    s = 2 ** (level - 1)
+    out_h, out_w = H // s, W // s
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    tiles = []
+    for i in range(s):
+        for j in range(s):
+            stride = jnp.asarray([[j, i]], dtype=jnp.float32)
+            stride = jnp.broadcast_to(stride, (B, 2))
+            grids = strided_grid(B, H, W, level, stride)
+            o = render_patch(
+                model, params, batch, rng=rng, grids=grids,
+                out_h=out_h, out_w=out_w,
+                sample_per_ray_c=sample_per_ray_c,
+                sample_per_ray_f=sample_per_ray_f,
+                fine=True, uniform=True, training=False,
+                n_views=n_views, sdf_chunk=sdf_chunk)
+            tiles.append(o)
+
+    merged = {}
+    for k, v in tiles[0].items():
+        if k in ("vert_vis", "index", "vis_img_all"):
+            merged[k] = v
+            continue
+        vs = [t[k] for t in tiles]
+        if v.ndim == 4:                        # (B, h, w, C)
+            merged[k] = _unshuffle(vs, s)
+        elif v.ndim == 3:                      # (B, h, w)
+            merged[k] = _unshuffle([x[..., None] for x in vs], s)[..., 0]
+        else:
+            merged[k] = v
+    return merged
+
+
+def _unshuffle(tiles, s: int):
+    """Inverse pixel-shuffle: s*s tiles of (B,h,w,C) -> (B, h*s, w*s, C).
+
+    Tile (i, j) holds pixels (y*s + i, x*s + j) — matching the reference's
+    ``thf.pixel_shuffle`` reassembly of the (j, i)-offset passes
+    (``model.py:1052-1085``).
+    """
+    B, h, w, C = tiles[0].shape
+    grid = jnp.stack(tiles, 0).reshape(s, s, B, h, w, C)   # [i, j]
+    grid = jnp.transpose(grid, (2, 3, 0, 4, 1, 5))         # B,h,i,w,j,C
+    return grid.reshape(B, h * s, w * s, C)

@@ -1,0 +1,136 @@
+"""Training loop: epochs, validation cadence, checkpointing, logging.
+
+Parity target: the PL Trainer wiring in reference ``train.py:53-76`` +
+``VANeRFLightningModule`` train/val hooks (``model.py:381-601``): dual
+G/D optimizers, val every `val_check_interval` fraction of an epoch,
+checkpoint per epoch (all kept + last), auto-resume, scalar logging with
+the same `train/*` / `val_total_loss` names.
+"""
+
+from __future__ import annotations
+
+import collections
+import os
+import time
+from typing import Any, Callable, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .checkpoints import CheckpointManager
+from .train_step import TrainState
+
+
+class MetricLogger:
+    """TensorBoard if available, always a JSONL mirror."""
+
+    def __init__(self, log_dir: str):
+        os.makedirs(log_dir, exist_ok=True)
+        self.jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            self.tb = SummaryWriter(log_dir)
+        except Exception:
+            self.tb = None
+
+    def log_scalars(self, step: int, scalars: dict):
+        import json
+        rec = {"step": int(step)}
+        for k, v in scalars.items():
+            rec[k] = float(v)
+            if self.tb is not None:
+                self.tb.add_scalar(k, float(v), step)
+        self.jsonl.write(json.dumps(rec) + "\n")
+        self.jsonl.flush()
+
+    def log_image(self, step: int, name: str, img_hwc: np.ndarray):
+        if self.tb is not None:
+            self.tb.add_image(name, np.transpose(img_hwc, (2, 0, 1)), step)
+
+
+def fit(train_step: Callable, state: TrainState, dataset,
+        collate: Callable, *, cfg: dict, save_dir: str,
+        rng: jax.Array, max_epochs: Optional[int] = None,
+        val_fn: Optional[Callable] = None, fast_dev_run: bool = False,
+        log_every: int = 10, nan_check: bool = False):
+    """Run the training loop.
+
+    Args:
+      train_step: jitted (state, batch, rng) -> (state, logs).
+      dataset: indexable dataset of per-sample dicts.
+      collate: list[dict] -> device batch dict.
+      val_fn: optional (state, step, logger) -> dict with 'val_total_loss'.
+    Returns final state.
+    """
+    tcfg = cfg["training"]
+    max_epochs = max_epochs or tcfg.get("max_epochs", 30)
+    batch_size = tcfg.get("train_batch_size", 1)
+    val_interval = tcfg.get("pl_cfg", {}).get("val_check_interval", 0.1)
+
+    logger = MetricLogger(save_dir)
+    ckpt = CheckpointManager(os.path.join(save_dir, "ckpts"))
+
+    n = len(dataset)
+    steps_per_epoch = max(n // batch_size, 1)
+    val_every = max(int(steps_per_epoch * val_interval), 1)
+    start_step = int(state.step)
+    start_epoch = start_step // steps_per_epoch
+
+    order_rng = np.random.default_rng(1234 + start_epoch)
+    step_i = start_step
+    for epoch in range(start_epoch, max_epochs):
+        perm = order_rng.permutation(n)
+        t_epoch = time.time()
+        for bi in range(steps_per_epoch):
+            idxs = perm[bi * batch_size:(bi + 1) * batch_size]
+            items = [dataset[int(i)] for i in idxs]
+            items = [it for it in items if it is not None]
+            if not items:           # None-tolerant collate (model.py:123-132)
+                continue
+            batch = collate(items)
+            rng, krun = jax.random.split(rng)
+            state, logs = train_step(state, batch, krun)
+            step_i += 1
+
+            if nan_check:
+                bad = {k: float(v) for k, v in logs.items()
+                       if not np.isfinite(float(v))}
+                if bad:
+                    raise FloatingPointError(f"non-finite losses: {bad}")
+
+            if step_i % log_every == 0:
+                logger.log_scalars(step_i, logs)
+            if val_fn is not None and step_i % val_every == 0:
+                val_logs = val_fn(state, step_i, logger)
+                if val_logs:
+                    logger.log_scalars(step_i, val_logs)
+            if fast_dev_run:
+                return state
+        dt = time.time() - t_epoch
+        logger.log_scalars(step_i, {"epoch": epoch,
+                                    "epoch_time_s": dt})
+        ckpt.save(step_i, state)
+    return state
+
+
+def collate_numpy(items: Iterable[dict], faces=None, flatten_views=True):
+    """Stack per-sample dicts into a batch; flatten (B, V, ...) source-view
+    tensors to (B*V, ...) as the renderer expects."""
+    batch = {}
+    keys = [k for k in items[0]
+            if k not in ("frame_index", "cam_ind", "human_idx")]
+    for k in keys:
+        v0 = items[0][k]
+        if np.ndim(v0) == 0:
+            batch[k] = np.asarray(v0)
+            continue
+        batch[k] = np.stack([np.asarray(it[k]) for it in items])
+    if flatten_views:
+        for k in ("src_img", "src_mask", "src_krt", "src_extrin"):
+            if k in batch:
+                v = batch[k]
+                batch[k] = v.reshape((-1,) + v.shape[2:])
+    if faces is not None:
+        batch["faces"] = faces
+    return jax.tree.map(jnp.asarray, batch)
