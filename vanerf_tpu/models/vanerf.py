@@ -42,6 +42,8 @@ class VANeRF(nn.Module):
     ds_geo: int = 1
     ds_tex: int = 1
     num_v: int = 779
+    sp_conv: bool = False
+    voxel_grid: Any = (64, 64, 64)
     disable_fg_mask: bool = False
     train_out_h: int = 64
     train_out_w: int = 64
@@ -62,6 +64,7 @@ class VANeRF(nn.Module):
         mlp_geo["n_dims1"] = nd
         return cls(
             num_v=num_v,
+            sp_conv=m.get("sp_conv", False),
             sp_args=sp,
             geo_args=dict(m["geo_args"]),
             mlp_geo_args=mlp_geo,
@@ -99,8 +102,15 @@ class VANeRF(nn.Module):
             nl_layer=mg.get("nl_layer", "softplus"),
             norm=mg.get("norm", "weight"),
             pool_types=tuple(mg.get("pool_types", ("mean",))))
-        self.geo_vis_fusion = GeoVisFusion(num_v=self.num_v)
-        self.tex_vis_fusion = TexVisFusion(num_v=self.num_v)
+        if self.sp_conv:
+            from .voxel_fusion import GeoVisFusionSP, TexVisFusionSP
+            self.geo_vis_fusion = GeoVisFusionSP(
+                num_v=self.num_v, grid_shape=tuple(self.voxel_grid))
+            self.tex_vis_fusion = TexVisFusionSP(
+                num_v=self.num_v, grid_shape=tuple(self.voxel_grid))
+        else:
+            self.geo_vis_fusion = GeoVisFusion(num_v=self.num_v)
+            self.tex_vis_fusion = TexVisFusion(num_v=self.num_v)
         self.ibr_compress_gfeat = nn.Dense(self.gcompress_out)
         self.mlp_tex = IBRRenderingHead(in_channels=self.ibr_in_channels)
         # learnable sigmoid-beta, init 0.1, clamped >= 2e-3 at use site
@@ -138,7 +148,7 @@ class VANeRF(nn.Module):
     def query(self, pts, view, cam, feat_geo, feat_tex, src_img, fg_mask,
               verts, vert_vis, query_vis, query_sdf, kpt3d,
               n_samples: int, n_views: int = 1, training: bool = False,
-              dropout_rng: Optional[jax.Array] = None):
+              dropout_rng: Optional[jax.Array] = None, bounds=None):
         """Evaluate (sdf_channel, radiance, rgb) at world points.
 
         Args:
@@ -232,18 +242,35 @@ class VANeRF(nn.Module):
         q_sdf_rep = (jnp.repeat(query_sdf, n_views, axis=0)
                      if n_views != 1 else query_sdf)
 
-        fused = self.geo_vis_fusion(
-            vert_xy, feat_geo, feat_sampled, vert_rep, v, vert_vis_rep,
-            q_vis_rep, q_sdf_rep)                            # [(BV,N,64/8)]
+        if self.sp_conv:
+            # SP path feeds the activated prior density instead of raw sdf
+            # (model.py:864).
+            q_sdf_act = jax.nn.sigmoid(
+                -q_sdf_rep / jnp.maximum(self.sigmoid_beta, 2e-3)) \
+                / jnp.maximum(self.sigmoid_beta, 2e-3)
+            bounds_rep = (jnp.repeat(bounds, n_views, axis=0)
+                          if n_views != 1 else bounds)
+            fused = self.geo_vis_fusion(
+                vert_xy, feat_geo, feat_sampled, vert_rep, v, vert_vis_rep,
+                q_vis_rep, q_sdf_act, bounds_rep)
+        else:
+            fused = self.geo_vis_fusion(
+                vert_xy, feat_geo, feat_sampled, vert_rep, v, vert_vis_rep,
+                q_vis_rep, q_sdf_rep)                        # [(BV,N,64/8)]
         fused = [f.reshape(B, n_views, N, -1) for f in fused]
 
         out, valid, _latent_view, latent_fused = self.mlp_geo(
             y, fused, out_mask, pix_weight)                  # out (B,N,2)
 
+        bounds_rep = None
+        if bounds is not None:
+            bounds_rep = (jnp.repeat(bounds, n_views, axis=0)
+                          if n_views != 1 else bounds)
         rgb = self._query_color(
             vert_xy, vert_rep, vert_vis_rep, q_vis_rep, v, xy, view,
             n_views, feat_tex, latent_fused, krt, src_img,
-            out_mask.reshape(B * n_views, N, 1), n_samples)
+            out_mask.reshape(B * n_views, N, 1), n_samples,
+            bounds=bounds_rep)
         out = jnp.concatenate([out, rgb], -1)                # (B, N, 5)
         return out, valid.astype(out.dtype)                  # valid (B, N, 1)
 
@@ -253,7 +280,7 @@ class VANeRF(nn.Module):
 
     def _query_color(self, vert_xy, vert, vert_vis, query_vis, v, xy, view,
                      n_views, feat_tex, latent_fused, krt, img, out_mask,
-                     n_samples):
+                     n_samples, bounds=None):
         BV, N, _ = v.shape
         B = BV // n_views
         img_xy = feat_sample_nhwc(img, xy)                   # (BV, N, 3)
@@ -266,9 +293,14 @@ class VANeRF(nn.Module):
                     if n_views != 1 else view)
 
         feat_xy = feat_sample_nhwc(feat_tex, xy)             # (BV, N, 8)
-        rgb_feat = self.tex_vis_fusion(
-            vert_xy, feat_tex, feat_xy, vert, v, vert_vis, query_vis,
-            img_xy, img, lat_rep)                            # (BV, N, 40)
+        if self.sp_conv:
+            rgb_feat = self.tex_vis_fusion(
+                vert_xy, feat_tex, feat_xy, vert, v, vert_vis, query_vis,
+                img_xy, img, lat_rep, bounds)
+        else:
+            rgb_feat = self.tex_vis_fusion(
+                vert_xy, feat_tex, feat_xy, vert, v, vert_vis, query_vis,
+                img_xy, img, lat_rep)                        # (BV, N, 40)
 
         inv_calib = jnp.linalg.inv(krt)                      # (BV, 4, 4)
         cam_pos = inv_calib[:, :3, 3]                        # (BV, 3)
@@ -293,12 +325,13 @@ class VANeRF(nn.Module):
         return out.reshape(B, N, 3)
 
     def __call__(self, im, pts, view, cam, fg_mask, verts, vert_vis,
-                 query_vis, query_sdf, kpt3d, n_samples, n_views=1):
+                 query_vis, query_sdf, kpt3d, n_samples, n_views=1,
+                 bounds=None):
         """Convenience joint forward (encode + query) for init/jit checks."""
         feat_geo, feat_tex = self.encode(im)
         return self.query(pts, view, cam, feat_geo, feat_tex, im, fg_mask,
                           verts, vert_vis, query_vis, query_sdf, kpt3d,
-                          n_samples, n_views)
+                          n_samples, n_views, bounds=bounds)
 
     def get_beta(self, params=None):
         return self.sigmoid_beta

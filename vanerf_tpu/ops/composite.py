@@ -20,7 +20,8 @@ def sdf_activation(x: jnp.ndarray, beta: jnp.ndarray) -> jnp.ndarray:
 
 
 def rgba2out(rad: jnp.ndarray, sdf: jnp.ndarray, rgb: jnp.ndarray,
-             z: jnp.ndarray, query_sdf: jnp.ndarray, beta: jnp.ndarray):
+             z: jnp.ndarray, query_sdf: jnp.ndarray, beta: jnp.ndarray,
+             use_sdf_prior: bool = True):
     """Composite per-sample predictions into per-ray outputs.
 
     Args:
@@ -37,7 +38,12 @@ def rgba2out(rad: jnp.ndarray, sdf: jnp.ndarray, rgb: jnp.ndarray,
     Matches ``model.py:1476-1494``: density = sigmoid(-(rad + query_sdf)/beta)
     / beta, alpha_i = 1 - exp(-density * dz), front-to-back transmittance.
     """
-    alpha = sdf_activation(-(rad + query_sdf), beta)
+    if use_sdf_prior:
+        alpha = sdf_activation(-(rad + query_sdf), beta)
+    else:
+        # sp_conv path: the network output is already a density
+        # (model.py:1477-1478).
+        alpha = rad
     dist = jnp.concatenate(
         [z[..., 1:] - z[..., :-1], jnp.full_like(z[..., :1], 1e10)], -1)
     contrib = 1.0 - jnp.exp(-alpha * dist)

@@ -115,10 +115,24 @@ def _chunk_query(pts_chunk, tri_a, tri_b, tri_c, with_winding):
     return dmin, idx, winding
 
 
+def _use_pallas() -> bool:
+    import os
+    backend = os.environ.get("VANERF_MESH_BACKEND", "auto")
+    if backend == "pallas":
+        return True
+    if backend == "xla":
+        return False
+    return jax.default_backend() == "tpu"
+
+
 @partial(jax.jit, static_argnames=("chunk", "with_winding"))
 def point_mesh_query(points: jnp.ndarray, triangles: jnp.ndarray,
                      chunk: int = 2048, with_winding: bool = True):
     """Exact point->mesh distance, closest-face index and winding number.
+
+    Dispatches to the fused Pallas kernel on TPU
+    (:mod:`vanerf_tpu.ops.mesh_query_pallas`) and to the chunked XLA map
+    elsewhere; override with VANERF_MESH_BACKEND={pallas,xla}.
 
     Args:
       points:    (N, 3) query points.
@@ -127,6 +141,10 @@ def point_mesh_query(points: jnp.ndarray, triangles: jnp.ndarray,
     Returns:
       sq_dist (N,), face_idx (N,) int32, winding (N,).
     """
+    if _use_pallas():
+        from .mesh_query_pallas import point_mesh_query_pallas
+        return point_mesh_query_pallas(points, triangles,
+                                       with_winding=with_winding)
     N = points.shape[0]
     pad = (-N) % chunk
     pts = jnp.pad(points, ((0, pad), (0, 0)))

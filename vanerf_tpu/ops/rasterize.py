@@ -71,10 +71,23 @@ def _raster_chunk(px, py, v0, v1, v2, z0, z1, z2):
     return face, bary, z
 
 
+def _use_pallas() -> bool:
+    import os
+    backend = os.environ.get("VANERF_MESH_BACKEND", "auto")
+    if backend == "pallas":
+        return True
+    if backend == "xla":
+        return False
+    return jax.default_backend() == "tpu"
+
+
 @partial(jax.jit, static_argnames=("H", "W", "chunk"))
 def rasterize_zbuffer(verts_xy: jnp.ndarray, verts_z: jnp.ndarray,
                       faces: jnp.ndarray, H: int, W: int, chunk: int = 4096):
     """Rasterize a mesh with a z-buffer.
+
+    Dispatches to the Pallas kernel on TPU
+    (:mod:`vanerf_tpu.ops.rasterize_pallas`); VANERF_MESH_BACKEND overrides.
 
     Args:
       verts_xy: (V, 2) vertex positions in *pixel* coordinates.
@@ -84,6 +97,10 @@ def rasterize_zbuffer(verts_xy: jnp.ndarray, verts_z: jnp.ndarray,
       pix_to_face (H*W,) int32 (-1 = background), bary (H*W, 3),
       zbuf (H*W,).
     """
+    if _use_pallas():
+        from .rasterize_pallas import rasterize_zbuffer_pallas
+        return rasterize_zbuffer_pallas(verts_xy, verts_z.reshape(-1),
+                                        faces, H, W)
     tri = verts_xy[faces]                           # (F, 3, 2)
     tz = verts_z[faces]                             # (F, 3)
     v0, v1, v2 = tri[:, 0], tri[:, 1], tri[:, 2]

@@ -188,7 +188,7 @@ def render_patch(model, params, batch: Dict[str, Any], *, rng,
             params, pts, view, cam_in, feat_geo, feat_tex, src_img,
             batch["src_mask"], verts, vert_vis, q_vis, q_sdf,
             batch["kpt3d"], n_samples, n_views, training,
-            method=model.query)
+            bounds=batch["bounds"], method=model.query)
 
         # eval_func (model.py:1140-1160)
         sdf_ch = valid * out[..., 0:1] + (1.0 - valid) * (0.1 / nml_scale)
@@ -202,9 +202,11 @@ def render_patch(model, params, batch: Dict[str, Any], *, rng,
     # ---- coarse pass ----
     alpha_c, sdf_c, rgb_c, qsdf_c = query_at(z, sample_per_ray_c, rngs[1])
     shp = (B, P, sample_per_ray_c)
+    use_prior = not getattr(model, "sp_conv", False)
     color, depth, acc, contrib, sdf_out = rgba2out(
         alpha_c.reshape(shp), sdf_c.reshape(shp),
-        rgb_c.reshape(shp + (3,)), z, qsdf_c.reshape(shp), beta)
+        rgb_c.reshape(shp + (3,)), z, qsdf_c.reshape(shp), beta,
+        use_sdf_prior=use_prior)
 
     out = {
         "tex_fg": color.reshape(B, out_h, out_w, 3),
@@ -213,18 +215,41 @@ def render_patch(model, params, batch: Dict[str, Any], *, rng,
     }
 
     # ---- fine pass (model.py:1301-1360) ----
+    # TPU optimization over the reference: the reference re-evaluates the
+    # whole network + mesh queries at ALL sample_c + sample_f sorted depths;
+    # since the coarse-depth evaluations are identical (same points, same
+    # weights), we only evaluate the NEW importance samples and merge both
+    # passes by a z-argsort — a 1/3 cut of total per-step query work.
     if fine:
         z_mid = 0.5 * (z[..., 1:] + z[..., :-1])
         z_new = importance_sample(
             jax.lax.stop_gradient(contrib[..., 1:-1]), z_mid,
             sample_per_ray_f, rng=rngs[2], uniform=uniform or not training)
-        z_fine = jnp.sort(jnp.concatenate([z, z_new], -1), -1)
+        alpha_n, sdf_n, rgb_n, qsdf_n = query_at(
+            z_new, sample_per_ray_f, rngs[3])
         n_fine = sample_per_ray_c + sample_per_ray_f
-        alpha_f, sdf_f, rgb_f, qsdf_f = query_at(z_fine, n_fine, rngs[3])
         shp = (B, P, n_fine)
+
+        z_cat = jnp.concatenate([z, z_new], -1)               # (B, P, n_fine)
+        order = jnp.argsort(z_cat, -1)
+        z_fine = jnp.take_along_axis(z_cat, order, -1)
+
+        def merge(cv, nv, ch=0):
+            tail = (ch,) if ch else ()
+            c = cv.reshape((B, P, sample_per_ray_c) + tail)
+            n_ = nv.reshape((B, P, sample_per_ray_f) + tail)
+            cat = jnp.concatenate([c, n_], 2)
+            idx = order[..., None] if ch else order
+            return jnp.take_along_axis(cat, idx, 2)
+
+        alpha_f = merge(alpha_c, alpha_n)
+        sdf_f = merge(sdf_c, sdf_n)
+        qsdf_f = merge(qsdf_c, qsdf_n)
+        rgb_f = merge(rgb_c, rgb_n, ch=3)
+
         color_f, depth_f, acc_f, _, sdf_out_f = rgba2out(
-            alpha_f.reshape(shp), sdf_f.reshape(shp),
-            rgb_f.reshape(shp + (3,)), z_fine, qsdf_f.reshape(shp), beta)
+            alpha_f, sdf_f, rgb_f, z_fine, qsdf_f, beta,
+            use_sdf_prior=use_prior)
         out.update({
             "tex_fg_fine": color_f.reshape(B, out_h, out_w, 3),
             "depth_fine": depth_f.reshape(B, out_h, out_w),
