@@ -62,7 +62,7 @@ def main():
             model, params, batch, rng=rng, grids=grids,
             out_h=out_hw, out_w=out_hw, sample_per_ray_c=spc,
             sample_per_ray_f=spf, fine=True, training=False,
-            sdf_chunk=4096)
+            sdf_chunk=4096, compute_vis_map=False)
         return out["tex_fg_fine"]
 
     run_j = jax.jit(run)

@@ -55,7 +55,7 @@ class GeoVisFusion(nn.Module):
 
     @nn.compact
     def __call__(self, vert_xy, fg, feat_sampled, vert, v, vert_vis,
-                 query_vis, query_sdf):
+                 query_vis, query_sdf, nn_idx=None):
         """
         Args:
           vert_xy: (B, V2, 2) vertex NDC coords in the source view.
@@ -71,7 +71,7 @@ class GeoVisFusion(nn.Module):
                 [(fg[0], 10, 64), (fg[1], 10, 8)]):
             vert_feat = feat_sample_nhwc(fmap, vert_xy)
             f_knn, f_knn_toh, vis_th, vis_toh = knn_gather_1(
-                v, vert, vert_feat, vert_vis, self.num_v)
+                v, vert, vert_feat, vert_vis, self.num_v, nn_idx=nn_idx)
             ctx = jnp.concatenate(
                 [query_sdf, query_vis, vis_th, vis_toh], -1)
             fused = jnp.concatenate(
@@ -153,7 +153,7 @@ class TexVisFusion(nn.Module):
 
     @nn.compact
     def __call__(self, vert_xy, ft1, ft_xy, vert, v, vert_vis, query_vis,
-                 img_xy, img_fmap, latent_fused):
+                 img_xy, img_fmap, latent_fused, nn_idx=None):
         """
         Args:
           vert_xy: (B, V2, 2) vertex NDC coords; ft1: (B, h, w, 8) tex map;
@@ -175,7 +175,7 @@ class TexVisFusion(nn.Module):
         vert_feat = jnp.concatenate([vert_feat, gf], -1)        # (B, V2, 29)
 
         f_knn, f_knn_toh, vis_th, vis_toh = knn_gather_1(
-            v, vert, vert_feat, vert_vis, self.num_v)
+            v, vert, vert_feat, vert_vis, self.num_v, nn_idx=nn_idx)
         knn_gf, knn_toh_gf = f_knn[..., 11:], f_knn_toh[..., 11:]
         knn_f, knn_toh_f = f_knn[..., :11], f_knn_toh[..., :11]
 

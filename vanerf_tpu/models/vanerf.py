@@ -242,6 +242,11 @@ class VANeRF(nn.Module):
         q_sdf_rep = (jnp.repeat(query_sdf, n_views, axis=0)
                      if n_views != 1 else query_sdf)
 
+        # nearest-vertex index shared by every fusion net (the argmin over
+        # the same (query, verts) pair is identical — compute once).
+        from ..ops.knn import nearest_vertex
+        nn_idx = jax.vmap(nearest_vertex)(v, vert_rep)       # (BV, N)
+
         if self.sp_conv:
             # SP path feeds the activated prior density instead of raw sdf
             # (model.py:864).
@@ -256,7 +261,7 @@ class VANeRF(nn.Module):
         else:
             fused = self.geo_vis_fusion(
                 vert_xy, feat_geo, feat_sampled, vert_rep, v, vert_vis_rep,
-                q_vis_rep, q_sdf_rep)                        # [(BV,N,64/8)]
+                q_vis_rep, q_sdf_rep, nn_idx=nn_idx)         # [(BV,N,64/8)]
         fused = [f.reshape(B, n_views, N, -1) for f in fused]
 
         out, valid, _latent_view, latent_fused = self.mlp_geo(
@@ -270,7 +275,7 @@ class VANeRF(nn.Module):
             vert_xy, vert_rep, vert_vis_rep, q_vis_rep, v, xy, view,
             n_views, feat_tex, latent_fused, krt, src_img,
             out_mask.reshape(B * n_views, N, 1), n_samples,
-            bounds=bounds_rep)
+            bounds=bounds_rep, nn_idx=nn_idx)
         out = jnp.concatenate([out, rgb], -1)                # (B, N, 5)
         return out, valid.astype(out.dtype)                  # valid (B, N, 1)
 
@@ -280,7 +285,7 @@ class VANeRF(nn.Module):
 
     def _query_color(self, vert_xy, vert, vert_vis, query_vis, v, xy, view,
                      n_views, feat_tex, latent_fused, krt, img, out_mask,
-                     n_samples, bounds=None):
+                     n_samples, bounds=None, nn_idx=None):
         BV, N, _ = v.shape
         B = BV // n_views
         img_xy = feat_sample_nhwc(img, xy)                   # (BV, N, 3)
@@ -300,7 +305,7 @@ class VANeRF(nn.Module):
         else:
             rgb_feat = self.tex_vis_fusion(
                 vert_xy, feat_tex, feat_xy, vert, v, vert_vis, query_vis,
-                img_xy, img, lat_rep)                        # (BV, N, 40)
+                img_xy, img, lat_rep, nn_idx=nn_idx)         # (BV, N, 40)
 
         inv_calib = jnp.linalg.inv(krt)                      # (BV, 4, 4)
         cam_pos = inv_calib[:, :3, 3]                        # (BV, 3)

@@ -25,7 +25,8 @@ from .fusion import Conv1dLN, FuseMLP, GlobalCtxConv
 
 
 def _gn(ch):
-    return nn.GroupNorm(num_groups=min(8, ch), epsilon=1e-3)
+    groups = max(g for g in range(1, min(8, ch) + 1) if ch % g == 0)
+    return nn.GroupNorm(num_groups=groups, epsilon=1e-3)
 
 
 class _ConvBlock3D(nn.Module):

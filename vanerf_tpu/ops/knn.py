@@ -27,6 +27,13 @@ def nearest_vertex(query: jnp.ndarray, verts: jnp.ndarray,
     Returns:
       (N,) int32 argmin indices.
     """
+    import os
+    backend = os.environ.get("VANERF_MESH_BACKEND", "auto")
+    use_pallas = (backend == "pallas"
+                  or (backend == "auto" and jax.default_backend() == "tpu"))
+    if use_pallas:
+        from .knn_pallas import nearest_vertex_pallas
+        return nearest_vertex_pallas(query, verts)
     N = query.shape[0]
     if N <= chunk:
         d2 = jnp.sum((query[:, None] - verts[None]) ** 2, axis=-1)
@@ -42,7 +49,8 @@ def nearest_vertex(query: jnp.ndarray, verts: jnp.ndarray,
 
 def knn_gather_1(query: jnp.ndarray, verts: jnp.ndarray,
                  vert_feat: jnp.ndarray, vert_vis: jnp.ndarray,
-                 num_v: int, weight_by_vis: bool = True):
+                 num_v: int, weight_by_vis: bool = True,
+                 nn_idx: jnp.ndarray | None = None):
     """K=1 nearest-vertex feature lookup for this-hand and other-hand.
 
     Parity with ``networks.py:27-33`` (``KNN_vis``) /
@@ -56,11 +64,15 @@ def knn_gather_1(query: jnp.ndarray, verts: jnp.ndarray,
       vert_feat: (B, V, C) per-vertex features.
       vert_vis:  (B, V, 1) per-vertex visibility (0/1).
       num_v:     vertices per hand.
+      nn_idx:    optional precomputed (B, N) nearest-vertex indices — the
+        argmin is identical for every fusion net querying the same points,
+        so callers compute it once and share.
     Returns:
       feat_knn (B, N, C), feat_knn_toh (B, N, C),
       vis (B, N, 1), vis_toh (B, N, 1).
     """
-    idx = jax.vmap(nearest_vertex)(query, verts)           # (B, N)
+    idx = (nn_idx if nn_idx is not None
+           else jax.vmap(nearest_vertex)(query, verts))    # (B, N)
     feat_toh = jnp.roll(vert_feat, -num_v, axis=1)
     vis_toh = jnp.roll(vert_vis, -num_v, axis=1)
 

@@ -50,6 +50,151 @@ def _atan2(y, x):
     return jnp.where((ax == 0) & (ay == 0), 0.0, r)
 
 
+# fixed generic ray direction for crossing-number winding (irrational-ish
+# components make exact edge/vertex grazes measure-zero)
+_RAY_D = (0.5773502691896258, 0.7071067811865476, 0.40824829046386296)
+
+
+def _kernel_ray(pts_ref, tri_ref, wtri_ref, d2_ref, idx_ref, wind_ref, *,
+                n_chunks):
+    """Distance (as in _kernel) + winding via signed ray crossings.
+
+    The winding number equals the sum of signed intersections of ANY fixed
+    ray with the mesh (degree of the Gauss map) — exact for watertight
+    meshes, including interpenetrating components, with zero
+    transcendentals.  Per-face constants (d x e2, e1, e2, det) are
+    precomputed on the host side of the call.
+    """
+    p = pts_ref[:]
+    px = p[:, 0:1]
+    py = p[:, 1:2]
+    pz = p[:, 2:3]
+
+    d2_best = jnp.full((TILE_P, 1), jnp.inf, jnp.float32)
+    idx_best = jnp.zeros((TILE_P, 1), jnp.int32)
+    wind = jnp.zeros((TILE_P, 1), jnp.float32)
+
+    for c in range(n_chunks):
+        sl = pl.ds(c * FACE_CHUNK, FACE_CHUNK)
+        ax = tri_ref[0:1, sl]
+        ay = tri_ref[1:2, sl]
+        az = tri_ref[2:3, sl]
+        bx = tri_ref[3:4, sl]
+        by = tri_ref[4:5, sl]
+        bz = tri_ref[5:6, sl]
+        cx = tri_ref[6:7, sl]
+        cy = tri_ref[7:8, sl]
+        cz = tri_ref[8:9, sl]
+
+        d2_best, idx_best = _distance_chunk(
+            px, py, pz, ax, ay, az, bx, by, bz, cx, cy, cz,
+            d2_best, idx_best, c)
+
+        # Moller-Trumbore with per-face precomputes, division-free
+        pvx = wtri_ref[0:1, sl]
+        pvy = wtri_ref[1:2, sl]
+        pvz = wtri_ref[2:3, sl]
+        e1x = wtri_ref[3:4, sl]
+        e1y = wtri_ref[4:5, sl]
+        e1z = wtri_ref[5:6, sl]
+        e2x = wtri_ref[6:7, sl]
+        e2y = wtri_ref[7:8, sl]
+        e2z = wtri_ref[8:9, sl]
+        det = wtri_ref[9:10, sl]
+
+        qx = px - ax
+        qy = py - ay
+        qz = pz - az
+        u_num = qx * pvx + qy * pvy + qz * pvz
+        qvx = qy * e1z - qz * e1y
+        qvy = qz * e1x - qx * e1z
+        qvz = qx * e1y - qy * e1x
+        v_num = _RAY_D[0] * qvx + _RAY_D[1] * qvy + _RAY_D[2] * qvz
+        t_num = e2x * qvx + e2y * qvy + e2z * qvz
+
+        hit = ((u_num * det >= 0) & (v_num * det >= 0)
+               & ((u_num + v_num - det) * det <= 0) & (t_num * det > 0))
+        # det = -d.(e1 x e2): an EXIT crossing (outward normal aligned with
+        # the ray) has det < 0, so winding = -sum(sign(det) * hit).
+        sign = jnp.where(det > 0, -1.0, 1.0)
+        wind = wind + jnp.sum(jnp.where(hit, sign, 0.0), axis=1,
+                              keepdims=True)
+
+    d2_ref[:] = d2_best
+    idx_ref[:] = idx_best
+    wind_ref[:] = wind
+
+
+def _distance_chunk(px, py, pz, ax, ay, az, bx, by, bz, cx, cy, cz,
+                    d2_best, idx_best, c):
+    """Exact point-triangle squared-distance chunk with running min."""
+    abx, aby, abz = bx - ax, by - ay, bz - az
+    acx, acy, acz = cx - ax, cy - ay, cz - az
+    apx, apy, apz = px - ax, py - ay, pz - az
+
+    d1 = abx * apx + aby * apy + abz * apz
+    d2_ = acx * apx + acy * apy + acz * apz
+    bpx, bpy, bpz = px - bx, py - by, pz - bz
+    d3 = abx * bpx + aby * bpy + abz * bpz
+    d4 = acx * bpx + acy * bpy + acz * bpz
+    cpx, cpy, cpz = px - cx, py - cy, pz - cz
+    d5 = abx * cpx + aby * cpy + abz * cpz
+    d6 = acx * cpx + acy * cpy + acz * cpz
+
+    va = d3 * d6 - d5 * d4
+    vb = d5 * d2_ - d1 * d6
+    vc = d1 * d4 - d3 * d2_
+
+    denom = va + vb + vc
+    denom = jnp.where(denom == 0, 1.0, denom)
+    v_f = vb / denom
+    w_f = vc / denom
+
+    in_a = (d1 <= 0) & (d2_ <= 0)
+    in_b = (d3 >= 0) & (d4 <= d3)
+    in_c = (d6 >= 0) & (d5 <= d6)
+    in_ab = (vc <= 0) & (d1 >= 0) & (d3 <= 0)
+    in_ac = (vb <= 0) & (d2_ >= 0) & (d6 <= 0)
+    in_bc = (va <= 0) & ((d4 - d3) >= 0) & ((d5 - d6) >= 0)
+
+    eps = 1e-20
+    t_ab = d1 / jnp.maximum(d1 - d3, eps)
+    t_ac = d2_ / jnp.maximum(d2_ - d6, eps)
+    t_bc = (d4 - d3) / jnp.maximum((d4 - d3) + (d5 - d6), eps)
+
+    qx = ax + v_f * abx + w_f * acx
+    qy = ay + v_f * aby + w_f * acy
+    qz = az + v_f * abz + w_f * acz
+    qx = jnp.where(in_bc, bx + t_bc * (cx - bx), qx)
+    qy = jnp.where(in_bc, by + t_bc * (cy - by), qy)
+    qz = jnp.where(in_bc, bz + t_bc * (cz - bz), qz)
+    qx = jnp.where(in_ac, ax + t_ac * acx, qx)
+    qy = jnp.where(in_ac, ay + t_ac * acy, qy)
+    qz = jnp.where(in_ac, az + t_ac * acz, qz)
+    qx = jnp.where(in_ab, ax + t_ab * abx, qx)
+    qy = jnp.where(in_ab, ay + t_ab * aby, qy)
+    qz = jnp.where(in_ab, az + t_ab * abz, qz)
+    qx = jnp.where(in_c, cx, qx)
+    qy = jnp.where(in_c, cy, qy)
+    qz = jnp.where(in_c, cz, qz)
+    qx = jnp.where(in_a, ax, qx)
+    qy = jnp.where(in_a, ay, qy)
+    qz = jnp.where(in_a, az, qz)
+    qx = jnp.where(in_b, bx, qx)
+    qy = jnp.where(in_b, by, qy)
+    qz = jnp.where(in_b, bz, qz)
+
+    dx, dy, dz = px - qx, py - qy, pz - qz
+    d2c = dx * dx + dy * dy + dz * dz
+
+    cmin = jnp.min(d2c, axis=1, keepdims=True)
+    carg = jnp.argmin(d2c, axis=1).astype(jnp.int32)[:, None] \
+        + c * FACE_CHUNK
+    better = cmin < d2_best
+    return (jnp.where(better, cmin, d2_best),
+            jnp.where(better, carg, idx_best))
+
+
 def _kernel(pts_ref, tri_ref, d2_ref, idx_ref, wind_ref, *, n_chunks,
             with_winding):
     p = pts_ref[:]                                    # (TILE_P, 3)
@@ -74,72 +219,9 @@ def _kernel(pts_ref, tri_ref, d2_ref, idx_ref, wind_ref, *, n_chunks,
         cy = tri_ref[7:8, sl]
         cz = tri_ref[8:9, sl]
 
-        # edge/point vectors, broadcast (TILE_P, CHUNK)
-        abx, aby, abz = bx - ax, by - ay, bz - az
-        acx, acy, acz = cx - ax, cy - ay, cz - az
-        apx, apy, apz = px - ax, py - ay, pz - az
-
-        d1 = abx * apx + aby * apy + abz * apz
-        d2_ = acx * apx + acy * apy + acz * apz
-        bpx, bpy, bpz = px - bx, py - by, pz - bz
-        d3 = abx * bpx + aby * bpy + abz * bpz
-        d4 = acx * bpx + acy * bpy + acz * bpz
-        cpx, cpy, cpz = px - cx, py - cy, pz - cz
-        d5 = abx * cpx + aby * cpy + abz * cpz
-        d6 = acx * cpx + acy * cpy + acz * cpz
-
-        va = d3 * d6 - d5 * d4
-        vb = d5 * d2_ - d1 * d6
-        vc = d1 * d4 - d3 * d2_
-
-        denom = va + vb + vc
-        denom = jnp.where(denom == 0, 1.0, denom)
-        v_f = vb / denom
-        w_f = vc / denom
-
-        in_a = (d1 <= 0) & (d2_ <= 0)
-        in_b = (d3 >= 0) & (d4 <= d3)
-        in_c = (d6 >= 0) & (d5 <= d6)
-        in_ab = (vc <= 0) & (d1 >= 0) & (d3 <= 0)
-        in_ac = (vb <= 0) & (d2_ >= 0) & (d6 <= 0)
-        in_bc = (va <= 0) & ((d4 - d3) >= 0) & ((d5 - d6) >= 0)
-
-        eps = 1e-20
-        t_ab = d1 / jnp.maximum(d1 - d3, eps)
-        t_ac = d2_ / jnp.maximum(d2_ - d6, eps)
-        t_bc = (d4 - d3) / jnp.maximum((d4 - d3) + (d5 - d6), eps)
-
-        qx = ax + v_f * abx + w_f * acx
-        qy = ay + v_f * aby + w_f * acy
-        qz = az + v_f * abz + w_f * acz
-        qx = jnp.where(in_bc, bx + t_bc * (cx - bx), qx)
-        qy = jnp.where(in_bc, by + t_bc * (cy - by), qy)
-        qz = jnp.where(in_bc, bz + t_bc * (cz - bz), qz)
-        qx = jnp.where(in_ac, ax + t_ac * acx, qx)
-        qy = jnp.where(in_ac, ay + t_ac * acy, qy)
-        qz = jnp.where(in_ac, az + t_ac * acz, qz)
-        qx = jnp.where(in_ab, ax + t_ab * abx, qx)
-        qy = jnp.where(in_ab, ay + t_ab * aby, qy)
-        qz = jnp.where(in_ab, az + t_ab * abz, qz)
-        qx = jnp.where(in_c, cx, qx)
-        qy = jnp.where(in_c, cy, qy)
-        qz = jnp.where(in_c, cz, qz)
-        qx = jnp.where(in_a, ax, qx)
-        qy = jnp.where(in_a, ay, qy)
-        qz = jnp.where(in_a, az, qz)
-        qx = jnp.where(in_b, bx, qx)
-        qy = jnp.where(in_b, by, qy)
-        qz = jnp.where(in_b, bz, qz)
-
-        dx, dy, dz = px - qx, py - qy, pz - qz
-        d2c = dx * dx + dy * dy + dz * dz             # (TILE_P, CHUNK)
-
-        cmin = jnp.min(d2c, axis=1, keepdims=True)
-        carg = jnp.argmin(d2c, axis=1).astype(jnp.int32)[:, None] \
-            + c * FACE_CHUNK
-        better = cmin < d2_best
-        d2_best = jnp.where(better, cmin, d2_best)
-        idx_best = jnp.where(better, carg, idx_best)
+        d2_best, idx_best = _distance_chunk(
+            px, py, pz, ax, ay, az, bx, by, bz, cx, cy, cz,
+            d2_best, idx_best, c)
 
         if with_winding:
             r1x, r1y, r1z = ax - px, ay - py, az - pz
@@ -164,14 +246,19 @@ def _kernel(pts_ref, tri_ref, d2_ref, idx_ref, wind_ref, *, n_chunks,
     wind_ref[:] = wind / (4.0 * jnp.pi)
 
 
-@functools.partial(jax.jit, static_argnames=("with_winding", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("with_winding", "interpret", "mode"))
 def point_mesh_query_pallas(points: jnp.ndarray, triangles: jnp.ndarray,
                             with_winding: bool = True,
-                            interpret: bool = False):
+                            interpret: bool = False,
+                            mode: str = "solid_angle"):
     """Fused exact distance + argmin + winding, Pallas TPU kernel.
 
     Args:
       points: (N, 3) float32; triangles: (F, 3, 3) float32.
+      mode: winding method — 'ray' (signed crossings of a fixed generic
+        ray; no transcendentals, default) or 'solid_angle' (Van Oosterom
+        atan2 sum; the slower reference formulation).
     Returns:
       sq_dist (N,), face_idx (N,) int32, winding (N,).
     """
@@ -182,35 +269,51 @@ def point_mesh_query_pallas(points: jnp.ndarray, triangles: jnp.ndarray,
 
     pts = jnp.pad(points.astype(jnp.float32), ((0, pad_p), (0, 0)))
     # (9, F_pad) transposed corner layout; degenerate far-away padding
-    tri = triangles.astype(jnp.float32).reshape(F, 9).T
+    tri_f = triangles.astype(jnp.float32)
+    tri = tri_f.reshape(F, 9).T
     tri = jnp.pad(tri, ((0, 0), (0, pad_f)), constant_values=1e9)
     n_chunks = tri.shape[1] // FACE_CHUNK
     grid = (pts.shape[0] // TILE_P,)
 
-    kernel = functools.partial(_kernel, n_chunks=n_chunks,
-                               with_winding=with_winding)
-    d2, idx, wind = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((TILE_P, 3), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, tri.shape[1]), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((TILE_P, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_P, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_P, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((pts.shape[0], 1), jnp.float32),
-            jax.ShapeDtypeStruct((pts.shape[0], 1), jnp.int32),
-            jax.ShapeDtypeStruct((pts.shape[0], 1), jnp.float32),
-        ],
-        interpret=interpret,
-    )(pts, tri)
+    def pspec(n_rows):
+        return pl.BlockSpec((n_rows, tri.shape[1]), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    out_specs = [pl.BlockSpec((TILE_P, 1), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)] * 3
+    out_shape = [
+        jax.ShapeDtypeStruct((pts.shape[0], 1), jnp.float32),
+        jax.ShapeDtypeStruct((pts.shape[0], 1), jnp.int32),
+        jax.ShapeDtypeStruct((pts.shape[0], 1), jnp.float32),
+    ]
+    pts_spec = pl.BlockSpec((TILE_P, 3), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    if mode == "ray" and with_winding:
+        # per-face Moller-Trumbore constants for the fixed ray
+        d = jnp.asarray(_RAY_D, jnp.float32)
+        e1 = tri_f[:, 1] - tri_f[:, 0]
+        e2 = tri_f[:, 2] - tri_f[:, 0]
+        pv = jnp.cross(jnp.broadcast_to(d, e2.shape), e2)
+        det = jnp.sum(e1 * pv, axis=-1)
+        wtri = jnp.concatenate(
+            [pv.T, e1.T, e2.T, det[None]], 0)           # (10, F)
+        # padded faces: det = 0 -> zero contribution
+        wtri = jnp.pad(wtri, ((0, 0), (0, pad_f)))
+        kernel = functools.partial(_kernel_ray, n_chunks=n_chunks)
+        d2, idx, wind = pl.pallas_call(
+            kernel, grid=grid,
+            in_specs=[pts_spec, pspec(9), pspec(10)],
+            out_specs=out_specs, out_shape=out_shape,
+            interpret=interpret,
+        )(pts, tri, wtri)
+    else:
+        kernel = functools.partial(_kernel, n_chunks=n_chunks,
+                                   with_winding=with_winding)
+        d2, idx, wind = pl.pallas_call(
+            kernel, grid=grid,
+            in_specs=[pts_spec, pspec(9)],
+            out_specs=out_specs, out_shape=out_shape,
+            interpret=interpret,
+        )(pts, tri)
     return d2[:N, 0], idx[:N, 0], wind[:N, 0]

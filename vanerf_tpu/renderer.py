@@ -110,7 +110,8 @@ def render_patch(model, params, batch: Dict[str, Any], *, rng,
                  fine: bool = True, uniform: bool = False,
                  rand_noise_std: float = 0.0, training: bool = False,
                  nml_scale: float = 100.0, vis_size: int = 256,
-                 n_views: int = 1, sdf_chunk: int = 2048):
+                 n_views: int = 1, sdf_chunk: int = 2048,
+                 compute_vis_map: bool = True):
     """Render one (out_h x out_w) ray patch end-to-end.
 
     Args:
@@ -265,14 +266,17 @@ def render_patch(model, params, batch: Dict[str, Any], *, rng,
         out["tar_alpha"] = gather_pixels(
             batch["tar_mask"], index, out_h, out_w)
 
-    # GT visibility map in the target view (model.py:1375-1389)
-    tar_k, tar_rt = batch["tar_k"], batch["tar_rt"]
-    vis_rgb, vis_map = jax.vmap(
-        lambda vt, vv, k, rt: render_vis_map(vt, faces, vv, k, rt, H, W))(
-        verts, vert_vis, tar_k, tar_rt)
-    out["vis_img_all"] = vis_map                                # (B,1,H,W)
-    vis_map_hwc = jnp.transpose(vis_map, (0, 2, 3, 1))
-    out["vis_img"] = gather_pixels(vis_map_hwc, index, out_h, out_w)
+    # GT visibility map in the target view (model.py:1375-1389) — only
+    # needed by the discriminator (training) and val logging.
+    if compute_vis_map:
+        tar_k, tar_rt = batch["tar_k"], batch["tar_rt"]
+        vis_rgb, vis_map = jax.vmap(
+            lambda vt, vv, k, rt: render_vis_map(vt, faces, vv, k, rt,
+                                                 H, W))(
+            verts, vert_vis, tar_k, tar_rt)
+        out["vis_img_all"] = vis_map                            # (B,1,H,W)
+        vis_map_hwc = jnp.transpose(vis_map, (0, 2, 3, 1))
+        out["vis_img"] = gather_pixels(vis_map_hwc, index, out_h, out_w)
 
     src_mask_b = batch["src_mask"].reshape(B, n_views, H, W, 1)[:, 0]
     out["input_mask"] = gather_pixels(src_mask_b, index, out_h, out_w)
@@ -294,7 +298,8 @@ def render_patch(model, params, batch: Dict[str, Any], *, rng,
 
 def render_full_image(model, params, batch, *, level: int,
                       sample_per_ray_c: int = 64, sample_per_ray_f: int = 64,
-                      n_views: int = 1, rng=None, sdf_chunk: int = 2048):
+                      n_views: int = 1, rng=None, sdf_chunk: int = 2048,
+                      compute_vis_map: bool = False):
     """Render the full target image by stride^2 interleaved patch passes.
 
     Parity with ``render_pifu_nerf`` (``model.py:1026-1100``): each pass
@@ -322,7 +327,8 @@ def render_full_image(model, params, batch, *, level: int,
                 sample_per_ray_c=sample_per_ray_c,
                 sample_per_ray_f=sample_per_ray_f,
                 fine=True, uniform=True, training=False,
-                n_views=n_views, sdf_chunk=sdf_chunk)
+                n_views=n_views, sdf_chunk=sdf_chunk,
+                compute_vis_map=compute_vis_map)
             tiles.append(o)
 
     merged = {}
