@@ -1,0 +1,128 @@
+"""Tests for config, evaluator metrics, camera path, MANO layer, losses."""
+
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vanerf_tpu import config as vconfig
+from vanerf_tpu.camera_path import get_360cameras
+from vanerf_tpu.evaluator import (Evaluator, bounding_rect, compute_psnr,
+                                  compute_ssim_crop)
+from vanerf_tpu.losses import VGGLoss, pix_loss, psnr, ssim
+from vanerf_tpu.mano import (load_mano_model, mano_forward, seal_verts_np)
+from vanerf_tpu.mano.layer import synthetic_mano_model, rodrigues
+
+
+def test_config_roundtrip(tmp_path):
+    cfg = vconfig.default_cfg()
+    assert cfg["models"]["VANeRF"]["sp_args"]["n_kpt"] == 42
+    assert cfg["training"]["lr"] == 0.001
+    vconfig.save_config(str(tmp_path), cfg)
+    re = vconfig.load_cfg(str(tmp_path / "config.json"))
+    assert re["models"]["VANeRF"]["dr_level"] == 5
+    assert "git_head" in re
+
+
+def test_psnr_ssim_sane(rng):
+    a = rng.random((32, 32, 3)).astype(np.float32)
+    noise = (a + 0.1 * rng.standard_normal((32, 32, 3))).astype(np.float32)
+    p_same = compute_psnr(a, a.copy() + 1e-6)
+    p_noisy = compute_psnr(a, noise)
+    assert p_same > 50 > p_noisy > 10
+    s = compute_ssim_crop(a, a.copy(), np.ones((32, 32), np.uint8))
+    assert s > 0.99
+    s2 = compute_ssim_crop(a, noise, np.ones((32, 32), np.uint8))
+    assert s2 < s
+
+
+def test_bounding_rect():
+    m = np.zeros((10, 12), np.uint8)
+    m[3:7, 4:9] = 1
+    assert bounding_rect(m) == (4, 3, 5, 4)
+
+
+def test_evaluator_saves_and_scores(tmp_path, rng):
+    ev = Evaluator(str(tmp_path))
+    pred = rng.random((16, 16, 3)).astype(np.float32)
+    gt = rng.random((16, 16, 3)).astype(np.float32)
+    s = ev.compute_score(pred, gt, input_imgs=pred[None],
+                         mask_at_box=np.ones((16, 16)))
+    assert set(s) == {"mse", "psnr", "ssim", "lpips"}
+    assert np.isnan(s["lpips"])          # no weights in this env
+    assert os.path.exists(os.path.join(str(tmp_path), "0", "pred"))
+
+
+def test_camera_path_orbits():
+    cams = get_360cameras(np.eye(4, dtype=np.float32), 500.0, 10.0, 1.0,
+                          256, 256, 5.0, 15.0, n_frames=20)
+    assert len(cams) == 20
+    for c in cams:
+        # valid rigid transforms
+        R = c["w2cs"][:3, :3]
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-4)
+    # the orbit should move the camera around
+    centers = np.stack([np.linalg.inv(c["w2cs"])[:3, 3] for c in cams])
+    assert np.ptp(centers, axis=0).max() > 1.0
+
+
+def test_mano_synthetic_forward_shapes():
+    m = synthetic_mano_model(True)
+    betas = jnp.zeros(10)
+    pose = jnp.zeros(48)
+    trans = jnp.asarray([0.1, 0.2, 0.3])
+    verts, joints = mano_forward(m, betas, pose, trans)
+    assert verts.shape == (778, 3)
+    assert joints.shape == (16, 3)
+    # zero pose, zero shape -> template + trans (atol covers the bf16
+    # default matmul precision of the LBS einsums)
+    np.testing.assert_allclose(
+        np.asarray(verts), m.v_template + np.asarray(trans), atol=5e-4)
+    # global rotation moves vertices rigidly
+    pose_rot = jnp.zeros(48).at[1].set(np.pi / 2)
+    v2, _ = mano_forward(m, betas, pose_rot, jnp.zeros(3))
+    d0 = np.linalg.norm(np.asarray(verts) - np.asarray(trans), axis=1)
+    d2 = np.linalg.norm(np.asarray(v2), axis=1)
+    # distances from the root joint are preserved under global rotation
+    # the root joint is the fixed point of the global rotation
+    root = m.J_regressor @ m.v_template
+    r0 = np.linalg.norm(m.v_template - root[0], axis=1)
+    r2 = np.linalg.norm(np.asarray(v2) - root[0], axis=1)
+    np.testing.assert_allclose(r0, r2, atol=1e-3)
+
+
+def test_seal_adds_center_vertex():
+    m = synthetic_mano_model(True)
+    v, f = seal_verts_np(m.v_template, m.faces, "right")
+    assert v.shape == (779, 3)
+    assert f.shape == (m.faces.shape[0] + 16, 3)
+    from vanerf_tpu.mano.layer import SEAL_RING
+    np.testing.assert_allclose(v[-1], m.v_template[SEAL_RING].mean(0),
+                               rtol=1e-5)
+
+
+def test_load_mano_model_falls_back():
+    m = load_mano_model("/nonexistent/MANO_RIGHT.pkl", True)
+    assert m.synthetic
+    assert m.faces.shape == (1538, 3)
+
+
+def test_pix_loss_variants(rng):
+    a = jnp.asarray(rng.random((1, 8, 8, 3)).astype(np.float32))
+    b = jnp.asarray(rng.random((1, 8, 8, 3)).astype(np.float32))
+    losses = pix_loss(a, b, {"l1": 1.0, "l2": 0.5, "lp": 0.1, "ssim": 1.0})
+    assert set(losses) == {"l1", "l2", "lp", "ssim"}
+    for v in losses.values():
+        assert np.isfinite(float(v))
+    top = pix_loss(a, b, {"l1top20": 1.0})
+    assert float(top["l1top20"]) >= float(losses["l1"])
+
+
+def test_vgg_loss_runs_and_decreases_with_similarity(rng):
+    vgg = VGGLoss(dummy_hw=16)
+    a = jnp.asarray(rng.random((1, 16, 16, 3)).astype(np.float32))
+    b = jnp.asarray(rng.random((1, 16, 16, 3)).astype(np.float32))
+    assert float(vgg(a, a)) < float(vgg(a, b))

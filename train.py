@@ -86,10 +86,19 @@ def main():
         run_test(model, state, ds_test, cfg, save_dir, n_views=n_views)
         return
 
+    if args.synthetic_data:
+        ds_val = SyntheticDataset(n_frames=1, split="test")
+    else:
+        from vanerf_tpu.data.interhand import InterHandDataset
+        ds_val = InterHandDataset.from_config(cfg["dataset"], "val", cfg)
+    from vanerf_tpu.eval_loop import make_val_fn
+    val_fn = make_val_fn(model, disc, ds_val, cfg, vgg, n_views=n_views)
+
     if args.profile_dir:
         jax.profiler.start_trace(args.profile_dir)
     state = fit(step_fn, state, ds_train, collate, cfg=cfg,
                 save_dir=save_dir, rng=jax.random.PRNGKey(1),
+                val_fn=None if args.fast_dev_run else val_fn,
                 fast_dev_run=args.fast_dev_run)
     if args.profile_dir:
         jax.profiler.stop_trace()

@@ -14,3 +14,15 @@ Re-implements the full capability surface of the VANeRF reference
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# Matmul/conv precision: JAX's default truncates inputs to bf16 (the right
+# TPU-first training default — MXU-native, f32 accumulate).  For
+# checkpoint-parity evaluation against the torch reference set
+# VANERF_PRECISION=highest (true f32 everywhere).
+_prec = _os.environ.get("VANERF_PRECISION", "")
+if _prec:
+    import jax as _jax
+    _jax.config.update("jax_default_matmul_precision", _prec)
+

@@ -23,6 +23,69 @@ from .renderer import render_full_image
 from .training.loop import collate_numpy
 
 
+def make_val_fn(model, disc, dataset, cfg: dict, vggloss, n_views: int = 1,
+                max_items: int = None):
+    """Validation hook: full-image renders + losses + TB image strip.
+
+    Parity with ``validation_step`` (reference ``model.py:547-573``): logs
+    a horizontal strip [src | gt | render | denseposes | mask | gt-vis |
+    D(real)-vis | D(fake)-vis] and aggregates ``val_total_loss`` (the
+    checkpoint-selection metric).
+    """
+    from . import losses as L
+    from .models.discriminator import bce_loss, g_nonsaturating_loss
+
+    lambdas = cfg["models"]["VANeRF"].get("lambdas", {})
+    n = max_items or cfg["dataset"].get("val_cfg", {}).get("max_len", 2)
+    n = min(n, len(dataset))
+    faces = dataset.faces
+
+    def val_fn(state, step, logger):
+        losses = []
+        for i in range(n):
+            item = dataset[i]
+            if item is None:
+                continue
+            batch = collate_numpy([item], faces=faces)
+            H = int(batch["src_img"].shape[1])
+            level = max(1, int(math.log2(H)) - 5)
+            out = render_full_image(
+                model, state.params_g, batch, level=level, n_views=n_views,
+                compute_vis_map=True)
+            out["tex_cal"] = out["tex_fg"]
+            out["tex_cal_fine"] = out["tex_fg_fine"]
+            out["tar_img"] = batch["tar_img"]
+            loss, err = L.compute_error(out, lambdas, vggloss)
+
+            rendered = jnp.clip(out["tex_fg_fine"], 0.0, 1.0)
+            fake_pred, fake_vis = disc.apply(
+                state.params_d, out["img_in"], out["input_densepose"],
+                out["tar_densepose"], rendered)
+            real_pred, real_vis = disc.apply(
+                state.params_d, out["img_in"], out["input_densepose"],
+                out["tar_densepose"], batch["tar_img"])
+            loss = loss + g_nonsaturating_loss(fake_pred)
+            losses.append(float(loss))
+
+            if i == 0 and logger is not None:
+                def g(x):
+                    x = np.asarray(x)[0]
+                    if x.shape[-1] == 1:
+                        x = np.repeat(x, 3, -1)
+                    return np.clip(x, 0, 1)
+                strip = np.concatenate([
+                    g(batch["src_img"][None, 0]), g(batch["tar_img"]),
+                    g(rendered), g(out["input_densepose"]),
+                    g(out["tar_densepose"]), g(batch["tar_mask"]),
+                    g(out["vis_img"]), g(real_vis), g(fake_vis)], axis=1)
+                logger.log_image(step, "val/renderings", strip)
+        if not losses:
+            return {}
+        return {"val_total_loss": float(np.mean(losses))}
+
+    return val_fn
+
+
 def run_test(model, state, dataset, cfg: dict, save_dir: str,
              n_views: int = 1, max_items: Optional[int] = None,
              tag: Optional[str] = None):

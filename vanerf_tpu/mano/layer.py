@@ -102,24 +102,25 @@ def load_mano_model(path: str, is_rhand: bool,
 def synthetic_mano_model(is_rhand: bool) -> ManoModel:
     """Deterministic stand-in with true MANO dimensions."""
     rs = np.random.RandomState(42 if is_rhand else 43)
-    # template: elongated ellipsoid point cloud triangulated by fan strips
-    u = np.linspace(0, 2 * np.pi, 20)
+    # template: elongated ellipsoid (97 rings x 8 sectors + 2 poles = 778)
+    S, R = 8, 97
+    u = np.linspace(0, 2 * np.pi, S + 1)[:-1]
     rows = []
-    for i in range(39):
-        r = 0.5 * np.sin(np.pi * (i + 1) / 40)
-        zrow = (i + 1) / 40 - 0.5
-        for a in u[:-1]:
+    for i in range(R):
+        r = 0.5 * np.sin(np.pi * (i + 1) / (R + 1))
+        zrow = (i + 1) / (R + 1) - 0.5
+        for a in u:
             rows.append([r * np.cos(a), r * np.sin(a), zrow])
-    v = np.asarray(rows[:N_VERTS - 2], np.float32)
+    v = np.asarray(rows, np.float32)
     v = np.concatenate([v, [[0, 0, -0.5], [0, 0, 0.5]]], 0).astype(np.float32)
+    assert v.shape[0] == N_VERTS
     v *= np.array([[0.04, 0.025, 0.09]], np.float32)
     if not is_rhand:
         v = v * np.array([[-1, 1, 1]], np.float32)
 
-    # faces: triangulate the grid strips
+    # faces: band strips + pole caps, truncated to the MANO face count
     faces = []
-    S = 19
-    for i in range(38):
+    for i in range(R - 1):
         for j in range(S):
             a = i * S + j
             b = i * S + (j + 1) % S
@@ -127,6 +128,10 @@ def synthetic_mano_model(is_rhand: bool) -> ManoModel:
             d = (i + 1) * S + (j + 1) % S
             faces.append([a, b, c])
             faces.append([b, d, c])
+    bot, top = N_VERTS - 2, N_VERTS - 1
+    for j in range(S):
+        faces.append([bot, (j + 1) % S, j])
+        faces.append([top, (R - 1) * S + j, (R - 1) * S + (j + 1) % S])
     faces = np.asarray(faces[:N_FACES], np.int32)
 
     parents = np.array([0, 0, 1, 2, 0, 4, 5, 0, 7, 8, 0, 10, 11, 0, 13, 14],
