@@ -65,7 +65,7 @@ import functools
 
 
 @functools.lru_cache(maxsize=32)
-def _bicubic_matrix(n_in: int, n_out: int) -> jnp.ndarray:
+def _bicubic_matrix_np(n_in: int, n_out: int):
     """(n_out, n_in) align-corners cubic interpolation matrix (torch
     ``interpolate(mode='bicubic', align_corners=True)`` semantics, kernel
     a=-0.75, replicate borders).  Static — the upsample becomes two small
@@ -79,7 +79,7 @@ def _bicubic_matrix(n_in: int, n_out: int) -> jnp.ndarray:
         for k in range(-1, 3):
             idx = min(max(x0 + k, 0), n_in - 1)
             m[o, idx] += _cubic_kernel(x - (x0 + k))
-    return jnp.asarray(m)
+    return m  # numpy — converted at the call site (cache must not hold tracers)
 
 
 def upsample2_bicubic(x):
@@ -89,8 +89,8 @@ def upsample2_bicubic(x):
     torch's 2D CPU kernel deviates from the exact separable form by ~0.3%
     — this implementation is the mathematically-exact one."""
     B, H, W, C = x.shape
-    mh = _bicubic_matrix(H, 2 * H)
-    mw = _bicubic_matrix(W, 2 * W)
+    mh = jnp.asarray(_bicubic_matrix_np(H, 2 * H))
+    mw = jnp.asarray(_bicubic_matrix_np(W, 2 * W))
     x = jnp.einsum("oh,bhwc->bowc", mh, x)
     return jnp.einsum("ow,bhwc->bhoc", mw, x)
 

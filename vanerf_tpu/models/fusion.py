@@ -66,12 +66,20 @@ class GeoVisFusion(nn.Module):
         Returns:
           [(B, N, 64), (B, N, 8)] fused features.
         """
+        # sample both scales at the vertices and run ONE fused KNN gather
+        # (the 262k-row gathers dominate; 2 gathers instead of 8).
+        c0 = fg[0].shape[-1]
+        vert_feat = jnp.concatenate(
+            [feat_sample_nhwc(fg[0], vert_xy),
+             feat_sample_nhwc(fg[1], vert_xy)], -1)
+        f_knn_all, f_knn_toh_all, vis_th, vis_toh = knn_gather_1(
+            v, vert, vert_feat, vert_vis, self.num_v, nn_idx=nn_idx)
+        per_scale = [(f_knn_all[..., :c0], f_knn_toh_all[..., :c0]),
+                     (f_knn_all[..., c0:], f_knn_toh_all[..., c0:])]
+
         outs = []
-        for si, (fmap, hidden_at, out_ch) in enumerate(
-                [(fg[0], 10, 64), (fg[1], 10, 8)]):
-            vert_feat = feat_sample_nhwc(fmap, vert_xy)
-            f_knn, f_knn_toh, vis_th, vis_toh = knn_gather_1(
-                v, vert, vert_feat, vert_vis, self.num_v, nn_idx=nn_idx)
+        for si, (hidden_at, out_ch) in enumerate([(10, 64), (10, 8)]):
+            f_knn, f_knn_toh = per_scale[si]
             ctx = jnp.concatenate(
                 [query_sdf, query_vis, vis_th, vis_toh], -1)
             fused = jnp.concatenate(

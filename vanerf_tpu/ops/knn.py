@@ -73,14 +73,17 @@ def knn_gather_1(query: jnp.ndarray, verts: jnp.ndarray,
     """
     idx = (nn_idx if nn_idx is not None
            else jax.vmap(nearest_vertex)(query, verts))    # (B, N)
-    feat_toh = jnp.roll(vert_feat, -num_v, axis=1)
-    vis_toh = jnp.roll(vert_vis, -num_v, axis=1)
-
+    # other-hand lookup = same index shifted by one hand's vertex count;
+    # fuse feat+vis into one array so the hot 262k-row gather runs twice
+    # total instead of four times (TPU gathers dominate this path).
+    V = vert_feat.shape[1]
+    idx_toh = (idx + num_v) % V
+    packed = jnp.concatenate([vert_feat, vert_vis], -1)
     take = jax.vmap(lambda a, i: jnp.take(a, i, axis=0))
-    f = take(vert_feat, idx)
-    f_toh = take(feat_toh, idx)
-    v = take(vert_vis, idx)
-    v_toh = take(vis_toh, idx)
+    g = take(packed, idx)
+    g_toh = take(packed, idx_toh)
+    f, v = g[..., :-1], g[..., -1:]
+    f_toh, v_toh = g_toh[..., :-1], g_toh[..., -1:]
     if weight_by_vis:
         f = f * v
         f_toh = f_toh * v_toh

@@ -141,6 +141,12 @@ def point_mesh_query(points: jnp.ndarray, triangles: jnp.ndarray,
     Returns:
       sq_dist (N,), face_idx (N,) int32, winding (N,).
     """
+    import os
+    if os.environ.get("VANERF_MESH_BACKEND") == "cluster":
+        # opt-in: Morton-clustered near-exact/far-dipole kernel — ~25%
+        # faster but approximate for points far from the surface.
+        from .mesh_query_cluster import point_mesh_query_cluster
+        return point_mesh_query_cluster(points, triangles)
     if _use_pallas():
         from .mesh_query_pallas import point_mesh_query_pallas
         return point_mesh_query_pallas(points, triangles,

@@ -72,6 +72,11 @@ def create_train_state(model, disc: DiscriminatorVis, rng, sample_batch,
 
     tx_g = optax.adam(sched)
     tx_d = optax.adam(sched)
+    accum = cfg["training"].get("accumulate_grad_batches", 1)
+    if accum and accum > 1:
+        # gradient accumulation (reference train.py:63)
+        tx_g = optax.MultiSteps(tx_g, every_k_schedule=accum)
+        tx_d = optax.MultiSteps(tx_d, every_k_schedule=accum)
     return TrainState(params_g, params_d, tx_g.init(params_g),
                       tx_d.init(params_d), jnp.zeros((), jnp.int32)), \
         (tx_g, tx_d)
