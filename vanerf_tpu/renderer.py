@@ -296,6 +296,8 @@ def render_patch(model, params, batch: Dict[str, Any], *, rng,
 # full-image tiled render (eval)
 # ---------------------------------------------------------------------------
 
+_TILE_FN_CACHE: dict = {}
+
 def render_full_image(model, params, batch, *, level: int,
                       sample_per_ray_c: int = 64, sample_per_ray_f: int = 64,
                       n_views: int = 1, rng=None, sdf_chunk: int = 2048,
@@ -315,13 +317,19 @@ def render_full_image(model, params, batch, *, level: int,
     if rng is None:
         rng = jax.random.PRNGKey(0)
 
-    tiles = []
-    for i in range(s):
-        for j in range(s):
-            stride = jnp.asarray([[j, i]], dtype=jnp.float32)
-            stride = jnp.broadcast_to(stride, (B, 2))
+    # one compiled tile program, reused for all stride offsets (the stride
+    # is a traced argument) — eager per-tile dispatch is pathological on
+    # remote-TPU transports and wastes s^2 compiles otherwise.  The jitted
+    # closure is cached across frames keyed on the static configuration.
+    key = (id(model), level, H, W, B, sample_per_ray_c, sample_per_ray_f,
+           n_views, sdf_chunk, compute_vis_map,
+           "tar_img" in batch and batch.get("tar_img") is not None,
+           "tar_mask" in batch and batch.get("tar_mask") is not None)
+    tile_fn = _TILE_FN_CACHE.get(key)
+    if tile_fn is None:
+        def _tile(params, batch, stride, rng):
             grids = strided_grid(B, H, W, level, stride)
-            o = render_patch(
+            return render_patch(
                 model, params, batch, rng=rng, grids=grids,
                 out_h=out_h, out_w=out_w,
                 sample_per_ray_c=sample_per_ray_c,
@@ -329,7 +337,15 @@ def render_full_image(model, params, batch, *, level: int,
                 fine=True, uniform=True, training=False,
                 n_views=n_views, sdf_chunk=sdf_chunk,
                 compute_vis_map=compute_vis_map)
-            tiles.append(o)
+        tile_fn = jax.jit(_tile)
+        _TILE_FN_CACHE[key] = tile_fn
+
+    tiles = []
+    for i in range(s):
+        for j in range(s):
+            stride = jnp.broadcast_to(
+                jnp.asarray([[j, i]], dtype=jnp.float32), (B, 2))
+            tiles.append(tile_fn(params, batch, stride, rng))
 
     merged = {}
     for k, v in tiles[0].items():
