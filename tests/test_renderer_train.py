@@ -92,3 +92,36 @@ def test_train_step_updates_and_is_finite(setup):
                    for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)))
     assert l2diff(state.params_g, new_state.params_g) > 0
     assert l2diff(state.params_d, new_state.params_d) > 0
+
+
+def test_render_full_image_tile_groups_match(setup):
+    from vanerf_tpu.renderer import render_full_image
+    cfg, model, batch, _ = setup
+    rng = jax.random.PRNGKey(0)
+    B = batch["tar_k"].shape[0]
+    V2 = batch["verts"].shape[1]
+    n = 4
+    cam = {"KRT": batch["src_krt"], "extrin": batch["src_extrin"],
+           "width": 32, "height": 32, "znear": batch["znear"],
+           "zfar": batch["zfar"]}
+    params = model.init(rng, batch["src_img"], jnp.zeros((B, n, 3)),
+                        jnp.ones((B, n, 3)), cam, batch["src_mask"],
+                        batch["verts"], jnp.ones((B, V2, 1)),
+                        jnp.ones((B, n, 1)), jnp.zeros((B, n, 1)),
+                        batch["kpt3d"], n)
+    o1 = render_full_image(model, params, batch, level=2,
+                           sample_per_ray_c=8, sample_per_ray_f=8,
+                           tile_group=1)
+    o4 = render_full_image(model, params, batch, level=2,
+                           sample_per_ray_c=8, sample_per_ray_f=8,
+                           tile_group=4)
+    assert o1["tex_fg_fine"].shape == (B, 32, 32, 3)
+    np.testing.assert_allclose(np.asarray(o1["tex_fg_fine"]),
+                               np.asarray(o4["tex_fg_fine"]),
+                               rtol=1e-4, atol=1e-5)
+    # deterministic across calls
+    o1b = render_full_image(model, params, batch, level=2,
+                            sample_per_ray_c=8, sample_per_ray_f=8,
+                            tile_group=1)
+    np.testing.assert_allclose(np.asarray(o1["tex_fg_fine"]),
+                               np.asarray(o1b["tex_fg_fine"]), atol=1e-6)

@@ -82,6 +82,8 @@ class InterHandDataset:
                  smplx_path: str = "smplx/models", **kwargs):
         self.split = split
         self.mode = "train" if split == "val" else split
+        # fixed frustum unless provide_znear_zfar (model.py:58, 278-279)
+        self.provide_znear_zfar = kwargs.get("provide_znear_zfar", False)
         self.input_per_frame = kwargs.get("input_per_frame_test", 1)
         self.num_input_view = kwargs.get("num_input_view", 1)
         self.if_color_jitter = kwargs.get("color_jitter", False)
@@ -327,8 +329,12 @@ class InterHandDataset:
             "kpt3d": (joint_world if self.joint_regressor is not None
                       else kpt3d),
             "bounds": bounds.astype(np.float32),
-            "znear": np.float32(near.min() if len(near) else 0.71),
-            "zfar": np.float32(far.max() if len(far) else 1.42),
+            "znear": np.float32(near.min()
+                                if (self.provide_znear_zfar and len(near))
+                                else 0.71),
+            "zfar": np.float32(far.max()
+                               if (self.provide_znear_zfar and len(far))
+                               else 1.42),
             "mask_at_box": mask_at_box.reshape(H, W).astype(np.float32),
             "frame_index": frame_idx,
             "cam_ind": views[0][0],

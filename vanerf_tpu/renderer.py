@@ -111,7 +111,7 @@ def render_patch(model, params, batch: Dict[str, Any], *, rng,
                  rand_noise_std: float = 0.0, training: bool = False,
                  nml_scale: float = 100.0, vis_size: int = 256,
                  n_views: int = 1, sdf_chunk: int = 2048,
-                 compute_vis_map: bool = True):
+                 compute_vis_map: bool = True, cached=None):
     """Render one (out_h x out_w) ray patch end-to-end.
 
     Args:
@@ -137,7 +137,11 @@ def render_patch(model, params, batch: Dict[str, Any], *, rng,
 
     rngs = jax.random.split(rng, 4)
 
-    feat_geo, feat_tex = model.apply(params, src_img, method=model.encode)
+    if cached is None:
+        feat_geo, feat_tex = model.apply(params, src_img,
+                                         method=model.encode)
+    else:
+        feat_geo, feat_tex, cached_vert_vis = cached
 
     cam_in = {
         "KRT": batch["src_krt"], "extrin": batch["src_extrin"],
@@ -167,9 +171,13 @@ def render_patch(model, params, batch: Dict[str, Any], *, rng,
     v_xy01 = jnp.stack([v_xy[..., 0] / (W - 1.0),
                         v_xy[..., 1] / (H - 1.0)], -1)
     v_z01 = (v_z - znear) / (zfar - znear)
-    vert_vis = jax.vmap(
-        lambda xy, vz: vertex_visibility(xy, vz, faces, size=vis_size))(
-        v_xy01, v_z01)                                        # (B, V2, 1)
+    if cached is None:
+        vert_vis = jax.vmap(
+            lambda xy, vz: vertex_visibility(xy, vz, faces,
+                                             size=vis_size))(
+            v_xy01, v_z01)                                    # (B, V2, 1)
+    else:
+        vert_vis = cached_vert_vis
 
     beta = params["params"]["sigmoid_beta"]
 
@@ -301,12 +309,17 @@ _TILE_FN_CACHE: dict = {}
 def render_full_image(model, params, batch, *, level: int,
                       sample_per_ray_c: int = 64, sample_per_ray_f: int = 64,
                       n_views: int = 1, rng=None, sdf_chunk: int = 2048,
-                      compute_vis_map: bool = False):
+                      compute_vis_map: bool = False, tile_group: int = 1):
     """Render the full target image by stride^2 interleaved patch passes.
 
     Parity with ``render_pifu_nerf`` (``model.py:1026-1100``): each pass
     renders every s-th pixel at offset (j, i); passes are reassembled by
     inverse pixel-shuffle.  Deterministic (uniform sampling, no noise).
+
+    `tile_group` folds G stride offsets into the batch dimension of ONE
+    compiled call — the unit of data parallelism for serving: with a
+    G-device mesh and the batch dim sharded, each device renders one tile
+    (the batch axis is already the sharded axis in `parallel/`).
 
     Returns the merged out dict with full-resolution images.
     """
@@ -316,36 +329,77 @@ def render_full_image(model, params, batch, *, level: int,
     out_h, out_w = H // s, W // s
     if rng is None:
         rng = jax.random.PRNGKey(0)
+    G = max(1, min(tile_group, s * s))
+    assert (s * s) % G == 0, "tile_group must divide stride^2"
 
-    # one compiled tile program, reused for all stride offsets (the stride
-    # is a traced argument) — eager per-tile dispatch is pathological on
+    # one compiled tile-group program, reused for all stride offsets (the
+    # strides are traced) — eager per-tile dispatch is pathological on
     # remote-TPU transports and wastes s^2 compiles otherwise.  The jitted
     # closure is cached across frames keyed on the static configuration.
-    key = (id(model), level, H, W, B, sample_per_ray_c, sample_per_ray_f,
+    key = (id(model), level, H, W, B, G, sample_per_ray_c, sample_per_ray_f,
            n_views, sdf_chunk, compute_vis_map,
-           "tar_img" in batch and batch.get("tar_img") is not None,
-           "tar_mask" in batch and batch.get("tar_mask") is not None)
+           batch.get("tar_img") is not None,
+           batch.get("tar_mask") is not None)
     tile_fn = _TILE_FN_CACHE.get(key)
     if tile_fn is None:
-        def _tile(params, batch, stride, rng):
-            grids = strided_grid(B, H, W, level, stride)
+        def _tile(params, gbatch, strides, rng, cached):
+            grids = strided_grid(G * B, H, W, level, strides)
             return render_patch(
-                model, params, batch, rng=rng, grids=grids,
+                model, params, gbatch, rng=rng, grids=grids,
                 out_h=out_h, out_w=out_w,
                 sample_per_ray_c=sample_per_ray_c,
                 sample_per_ray_f=sample_per_ray_f,
                 fine=True, uniform=True, training=False,
                 n_views=n_views, sdf_chunk=sdf_chunk,
-                compute_vis_map=compute_vis_map)
-        tile_fn = jax.jit(_tile)
-        _TILE_FN_CACHE[key] = tile_fn
+                compute_vis_map=compute_vis_map, cached=cached)
 
+        def _encode(params, batch):
+            feat_geo, feat_tex = model.apply(params, batch["src_img"],
+                                             method=model.encode)
+            src_krt_b = batch["src_krt"].reshape(B, n_views, 4, 4)[:, 0]
+            verts = batch["verts"]
+            vh = (verts @ jnp.swapaxes(src_krt_b[:, :3, :3], -1, -2)
+                  + src_krt_b[:, None, :3, 3])
+            v_z = vh[..., 2:3]
+            v_xy = vh[..., :2] / (v_z + 1e-8)
+            v_xy01 = jnp.stack([v_xy[..., 0] / (W - 1.0),
+                                v_xy[..., 1] / (H - 1.0)], -1)
+            v_z01 = (v_z - batch["znear"]) / (batch["zfar"] - batch["znear"])
+            vert_vis = jax.vmap(
+                lambda xy, vz: vertex_visibility(xy, vz, batch["faces"]))(
+                v_xy01, v_z01)
+            return feat_geo, feat_tex, vert_vis
+
+        tile_fn = (jax.jit(_tile), jax.jit(_encode))
+        _TILE_FN_CACHE[key] = tile_fn
+    tile_fn, encode_fn = tile_fn
+
+    def expand(x):
+        if x is None or jnp.ndim(x) == 0:
+            return x
+        return jnp.tile(x, (G,) + (1,) * (jnp.ndim(x) - 1))
+
+    gbatch = {k: (v if k in ("faces", "znear", "zfar") else expand(v))
+              for k, v in batch.items()}
+
+    # encoders + vertex visibility once per frame, tiled into the group
+    # (reference attach_im_feat-once semantics, model.py:1047-1048)
+    feat_geo, feat_tex, vert_vis = encode_fn(params, batch)
+    cached = ([expand(f) for f in feat_geo], expand(feat_tex),
+              expand(vert_vis))
+
+    offsets = [(j, i) for i in range(s) for j in range(s)]
     tiles = []
-    for i in range(s):
-        for j in range(s):
-            stride = jnp.broadcast_to(
-                jnp.asarray([[j, i]], dtype=jnp.float32), (B, 2))
-            tiles.append(tile_fn(params, batch, stride, rng))
+    for g0 in range(0, s * s, G):
+        group = offsets[g0:g0 + G]
+        strides = jnp.asarray(
+            [[o] * B for o in group], jnp.float32).reshape(G * B, 2)
+        out = tile_fn(params, gbatch, strides, rng, cached)
+        for t in range(G):
+            tiles.append({k: v[t * B:(t + 1) * B]
+                          if hasattr(v, "ndim") and v.ndim >= 1
+                          and v.shape[0] == G * B else v
+                          for k, v in out.items()})
 
     merged = {}
     for k, v in tiles[0].items():
