@@ -125,3 +125,33 @@ def test_render_full_image_tile_groups_match(setup):
                             tile_group=1)
     np.testing.assert_allclose(np.asarray(o1["tex_fg_fine"]),
                                np.asarray(o1b["tex_fg_fine"]), atol=1e-6)
+
+
+def test_render_patch_two_views():
+    """Multi-view path: V=2 source views, view-dependent IBR blending."""
+    cfg = tiny_cfg()
+    batch_np, faces, num_v = make_synthetic_batch(
+        batch_size=1, H=32, W=32, subdiv=1, num_input_view=2)
+    batch = jax.tree.map(jnp.asarray, batch_np)
+    assert batch["src_img"].shape[0] == 2        # B*V flattened
+    model = VANeRF.from_config(cfg, num_v=num_v)
+    rng = jax.random.PRNGKey(0)
+    B = batch["tar_k"].shape[0]
+    V2 = batch["verts"].shape[1]
+    n = 4
+    cam = {"KRT": batch["src_krt"], "extrin": batch["src_extrin"],
+           "width": 32, "height": 32, "znear": batch["znear"],
+           "zfar": batch["zfar"]}
+    params = model.init(rng, batch["src_img"], jnp.zeros((B, n, 3)),
+                        jnp.ones((B, n, 3)), cam, batch["src_mask"],
+                        batch["verts"], jnp.ones((B, V2, 1)),
+                        jnp.ones((B, n, 1)), jnp.zeros((B, n, 1)),
+                        batch["kpt3d"], n, 2)
+    grids = mask_centered_grid(rng, batch["tar_mask"][..., 0], 8, 8)
+    out = render_patch(model, params, batch, rng=rng, grids=grids,
+                       out_h=8, out_w=8, sample_per_ray_c=8,
+                       sample_per_ray_f=8, fine=True, training=False,
+                       n_views=2, sdf_chunk=64)
+    assert out["tex_fg_fine"].shape == (B, 8, 8, 3)
+    for k, v in out.items():
+        assert np.isfinite(np.asarray(v)).all(), f"non-finite {k}"

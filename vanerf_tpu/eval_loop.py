@@ -104,11 +104,18 @@ def run_test(model, state, dataset, cfg: dict, save_dir: str,
         batch = collate_numpy([item], faces=faces)
         H = int(batch["src_img"].shape[1])
         level = max(1, int(math.log2(H)) - 5)   # 256 -> 3 (model.py:581)
+        n_tiles = 4 ** (level - 1)
         out = render_full_image(
-            model, params, batch, level=level, n_views=n_views)
+            model, params, batch, level=level, n_views=n_views,
+            tile_group=min(4, n_tiles))
         pred = np.clip(np.asarray(out["tex_fg_fine"])[0], 0.0, 1.0)
         gt = np.asarray(batch["tar_img"])[0]
-        mask_at_box = np.asarray(batch["tar_mask"])[0, ..., 0] > 0
+        # SSIM crop region: ray-AABB mask when the dataset provides it
+        # (evaluator.py:21-23), else the foreground mask
+        if "mask_at_box" in batch:
+            mask_at_box = np.asarray(batch["mask_at_box"])[0] > 0
+        else:
+            mask_at_box = np.asarray(batch["tar_mask"])[0, ..., 0] > 0
         s = evaluator.compute_score(
             pred, gt,
             input_imgs=np.asarray(batch["src_img"]),

@@ -197,6 +197,7 @@ def render_patch(model, params, batch: Dict[str, Any], *, rng,
             params, pts, view, cam_in, feat_geo, feat_tex, src_img,
             batch["src_mask"], verts, vert_vis, q_vis, q_sdf,
             batch["kpt3d"], n_samples, n_views, training,
+            dropout_rng=jax.random.fold_in(key, 1) if training else None,
             bounds=batch["bounds"], method=model.query)
 
         # eval_func (model.py:1140-1160)
