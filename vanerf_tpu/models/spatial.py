@@ -16,15 +16,32 @@ import numpy as np
 
 
 def position_embedding(x: jnp.ndarray, nlevels: int,
-                       scale: float = 1.0) -> jnp.ndarray:
-    """[x, sin(pi x), cos(pi x), sin(2 pi x), ...] (spatial.py:19-43)."""
+                       scale: float = 1.0,
+                       weight: jnp.ndarray | None = None) -> jnp.ndarray:
+    """[x, sin(pi x), cos(pi x), sin(2 pi x), ...] (spatial.py:19-43).
+
+    Octave frequencies are generated with double-angle recurrences
+    (sin 2a = 2 sin a cos a, cos 2a = 1 - 2 sin^2 a): one sin+cos
+    transcendental pair per element instead of `nlevels` — the PE is one of
+    the hot VPU ops at 262k points/step.  Layout matches the reference:
+    [x, sin_0, cos_0, sin_1, cos_1, ...] per level.
+    """
     if nlevels <= 0:
-        return x
-    vec = scale * np.pi * (2.0 ** np.arange(nlevels)).astype(np.float32)
-    y = x[..., None, :] * vec[:, None]                    # (..., L, C)
-    z = jnp.concatenate([jnp.sin(y), jnp.cos(y)], -1)     # (..., L, 2C)
-    z = z.reshape(*x.shape[:-1], -1)
-    return jnp.concatenate([x, z], -1)
+        return x if weight is None else x * weight
+    a = (scale * np.pi) * x
+    s = jnp.sin(a)
+    c = jnp.cos(a)
+    parts = [x]
+    for _ in range(nlevels):
+        parts.append(s)
+        parts.append(c)
+        s, c = 2.0 * s * c, 1.0 - 2.0 * s * s
+    if weight is not None:
+        # per-part weighting (rel_z_decay) applied pre-concat — avoids the
+        # (N, 1+2L, C) reshape round-trip, which XLA was materializing with
+        # a hostile layout (~4.5 ms/step).
+        parts = [p * weight for p in parts]
+    return jnp.concatenate(parts, -1)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -92,10 +109,8 @@ class SpatialEncoder:
             w = jnp.exp(-(dxyz ** 2).sum(-1, keepdims=True)
                         / (2.0 * self.sigma ** 2))
             w = w.reshape(*w.shape[:2], -1)                  # (BV, N, K)
-            out = position_embedding(
-                dz.reshape(*dz.shape[:2], -1), self.sp_level)  # (BV,N,(1+2L)K)
-            out = out.reshape(*out.shape[:2], -1, w.shape[-1]) * w[:, :, None]
-            return out.reshape(*out.shape[:2], -1)
+            return position_embedding(
+                dz.reshape(*dz.shape[:2], -1), self.sp_level, weight=w)
         if t == "rel_cxyz":
             dxyz = self.scale * (cxyz[:, :, None] - kptxyz[:, None])
             return position_embedding(

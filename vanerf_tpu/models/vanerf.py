@@ -187,12 +187,25 @@ class VANeRF(nn.Module):
                     & mask_z[..., 0])[..., None].astype(pts.dtype)
         out_mask = out_mask.reshape(B, n_views, N, 1)
 
+        # fuse every same-resolution map into one bilinear-sample call —
+        # TPU gathers are the hot cost (~2 ms per 262k-row gather), so
+        # (fg_mask|src_img) at full res and (geo_fine|feat_tex) at half res
+        # each sample once.
+        if fg_mask.shape[1:3] == src_img.shape[1:3]:
+            fm = feat_sample_nhwc(
+                jnp.concatenate([fg_mask, src_img], -1), xy)
+            fg_xy = fm[..., :1]
+            img_xy = fm[..., 1:]
+        else:
+            fg_xy = feat_sample_nhwc(fg_mask, xy)
+            img_xy = feat_sample_nhwc(src_img, xy)
+
         if self.disable_fg_mask:
             all_ok = (out_mask > 0).all(1, keepdims=True)
             out_mask = out_mask * all_ok
         else:
-            fg_xy = feat_sample_nhwc(fg_mask, xy).reshape(B, n_views, N, 1)
-            ok = ((fg_xy > 0.1) & (out_mask > 0)).all(1, keepdims=True)
+            fg_v = fg_xy.reshape(B, n_views, N, 1)
+            ok = ((fg_v > 0.1) & (out_mask > 0)).all(1, keepdims=True)
             out_mask = out_mask * ok
 
         if training and n_views > 1 and dropout_rng is not None:
@@ -216,8 +229,17 @@ class VANeRF(nn.Module):
         pw = jax.lax.stop_gradient(pw.reshape(B, n_views, N, 1)) * out_mask
         pix_weight = pw / (pw.sum(1, keepdims=True) + 1e-6)
 
-        feat_sampled = [
-            feat_sample_nhwc(f, xy) for f in feat_geo]       # (BV, N, C)
+        if feat_geo[1].shape[1:3] == feat_tex.shape[1:3]:
+            half = feat_sample_nhwc(
+                jnp.concatenate([feat_geo[1], feat_tex], -1), xy)
+            ch1 = feat_geo[1].shape[-1]
+            feat_sampled = [feat_sample_nhwc(feat_geo[0], xy),
+                            half[..., :ch1]]
+            feat_tex_xy = half[..., ch1:]
+        else:
+            feat_sampled = [
+                feat_sample_nhwc(f, xy) for f in feat_geo]   # (BV, N, C)
+            feat_tex_xy = feat_sample_nhwc(feat_tex, xy)
 
         y = self.sp_encoder(
             v=v, pts=pts, z=z, xy=xy, extrin=cam["extrin"],
@@ -275,7 +297,8 @@ class VANeRF(nn.Module):
             vert_xy, vert_rep, vert_vis_rep, q_vis_rep, v, xy, view,
             n_views, feat_tex, latent_fused, krt, src_img,
             out_mask.reshape(B * n_views, N, 1), n_samples,
-            bounds=bounds_rep, nn_idx=nn_idx)
+            bounds=bounds_rep, nn_idx=nn_idx, img_xy=img_xy,
+            feat_xy=feat_tex_xy)
         out = jnp.concatenate([out, rgb], -1)                # (B, N, 5)
         return out, valid.astype(out.dtype)                  # valid (B, N, 1)
 
@@ -285,10 +308,12 @@ class VANeRF(nn.Module):
 
     def _query_color(self, vert_xy, vert, vert_vis, query_vis, v, xy, view,
                      n_views, feat_tex, latent_fused, krt, img, out_mask,
-                     n_samples, bounds=None, nn_idx=None):
+                     n_samples, bounds=None, nn_idx=None, img_xy=None,
+                     feat_xy=None):
         BV, N, _ = v.shape
         B = BV // n_views
-        img_xy = feat_sample_nhwc(img, xy)                   # (BV, N, 3)
+        if img_xy is None:
+            img_xy = feat_sample_nhwc(img, xy)               # (BV, N, 3)
         pHW = N // n_samples
 
         latent_fused = self.ibr_compress_gfeat(latent_fused)  # (B, N, 24)
@@ -297,7 +322,8 @@ class VANeRF(nn.Module):
         view_rep = (jnp.repeat(view, n_views, axis=0)
                     if n_views != 1 else view)
 
-        feat_xy = feat_sample_nhwc(feat_tex, xy)             # (BV, N, 8)
+        if feat_xy is None:
+            feat_xy = feat_sample_nhwc(feat_tex, xy)         # (BV, N, 8)
         if self.sp_conv:
             rgb_feat = self.tex_vis_fusion(
                 vert_xy, feat_tex, feat_xy, vert, v, vert_vis, query_vis,

@@ -61,8 +61,11 @@ def importance_sample(contrib: jnp.ndarray, z: jnp.ndarray, n_samples: int,
         u = jax.random.uniform(rng, cdf.shape[:-1] + (n_samples,),
                                dtype=z.dtype)
 
-    idx = jax.vmap(jax.vmap(lambda c, s: jnp.searchsorted(c, s, side="right")))(
-        cdf, u)
+    # vectorized right-searchsorted: count of cdf bins <= u.  The vmapped
+    # jnp.searchsorted lowers to a serial while-loop on TPU (~13 ms/step);
+    # the dense comparison is (B, N, S, D) elementwise and fuses away.
+    idx = jnp.sum((u[..., :, None] >= cdf[..., None, :]),
+                  axis=-1).astype(jnp.int32)
     idx_prev = jnp.clip(idx - 1, 0, None)
     idx = jnp.clip(idx, None, cdf.shape[-1] - 1)
 

@@ -240,22 +240,23 @@ def render_patch(model, params, batch: Dict[str, Any], *, rng,
         n_fine = sample_per_ray_c + sample_per_ray_f
         shp = (B, P, n_fine)
 
+        # single key+payload sort instead of argsort + 6 gathers (TPU
+        # gathers run ~2 ms each at this size; lax.sort moves the payloads
+        # in the same pass)
+        def cat_cf(cv, nv):
+            c = cv.reshape(B, P, sample_per_ray_c)
+            n_ = nv.reshape(B, P, sample_per_ray_f)
+            return jnp.concatenate([c, n_], 2)
+
         z_cat = jnp.concatenate([z, z_new], -1)               # (B, P, n_fine)
-        order = jnp.argsort(z_cat, -1)
-        z_fine = jnp.take_along_axis(z_cat, order, -1)
-
-        def merge(cv, nv, ch=0):
-            tail = (ch,) if ch else ()
-            c = cv.reshape((B, P, sample_per_ray_c) + tail)
-            n_ = nv.reshape((B, P, sample_per_ray_f) + tail)
-            cat = jnp.concatenate([c, n_], 2)
-            idx = order[..., None] if ch else order
-            return jnp.take_along_axis(cat, idx, 2)
-
-        alpha_f = merge(alpha_c, alpha_n)
-        sdf_f = merge(sdf_c, sdf_n)
-        qsdf_f = merge(qsdf_c, qsdf_n)
-        rgb_f = merge(rgb_c, rgb_n, ch=3)
+        rgb_c3 = rgb_c.reshape(B, P, sample_per_ray_c, 3)
+        rgb_n3 = rgb_n.reshape(B, P, sample_per_ray_f, 3)
+        rgb_cat = jnp.concatenate([rgb_c3, rgb_n3], 2)
+        (z_fine, alpha_f, sdf_f, qsdf_f, r_f, g_f, b_f) = jax.lax.sort(
+            (z_cat, cat_cf(alpha_c, alpha_n), cat_cf(sdf_c, sdf_n),
+             cat_cf(qsdf_c, qsdf_n), rgb_cat[..., 0], rgb_cat[..., 1],
+             rgb_cat[..., 2]), dimension=-1, num_keys=1)
+        rgb_f = jnp.stack([r_f, g_f, b_f], -1)
 
         color_f, depth_f, acc_f, _, sdf_out_f = rgba2out(
             alpha_f, sdf_f, rgb_f, z_fine, qsdf_f, beta,
