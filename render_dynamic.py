@@ -31,6 +31,8 @@ def main():
     parser = vconfig.create_parser()
     args = parser.parse_args()
     cfg = vconfig.load_cfg(args.config)
+    if args.out_dir is not None:
+        cfg["out_dir"] = args.out_dir
     save_dir = os.path.join(cfg["out_dir"], cfg.get("expname", "default"))
 
     if args.synthetic_data:

@@ -56,3 +56,33 @@ def test_pallas_ray_winding_matches_solid_angle(mesh_and_points):
     np.testing.assert_array_equal(np.asarray(ws) > 0.5, np.asarray(wr) > 0.5)
     np.testing.assert_allclose(np.round(np.asarray(ws)), np.asarray(wr),
                                atol=1e-4)
+
+
+def test_pallas_fused_vis_matches_cal_vis_sdf(mesh_and_points):
+    import os
+    from vanerf_tpu.ops.mesh_query import cal_vis_sdf
+    from vanerf_tpu.ops.mesh_query_pallas import point_mesh_query_vis_pallas
+    tri, pts = mesh_and_points
+    rng = np.random.default_rng(1)
+    # rebuild verts/faces matching the fixture
+    from oracles import make_icosphere
+    v1, f1 = make_icosphere(subdiv=1, radius=0.05, center=(-0.03, 0, 0))
+    v2, f2 = make_icosphere(subdiv=1, radius=0.05, center=(0.03, 0.01, 0))
+    verts = np.concatenate([v1, v2]).astype(np.float32)
+    faces = np.concatenate([f1, f2 + len(v1)]).astype(np.int32)
+    vis = (rng.random((len(verts), 1)) > 0.4).astype(np.float32)
+
+    sdf_x, qvis_x, _ = cal_vis_sdf(jnp.asarray(verts), jnp.asarray(faces),
+                                   pts, jnp.asarray(vis), chunk=64)
+    face_vis = vis[:, 0][faces]
+    d2p, _, wp, qvp = point_mesh_query_vis_pallas(
+        pts, jnp.asarray(verts[faces]), jnp.asarray(face_vis),
+        interpret=True)
+    sdf_p = np.sqrt(np.asarray(d2p) + 1e-6) * np.where(
+        np.asarray(wp) > 0.5, -1.0, 1.0)
+    np.testing.assert_allclose(sdf_p, np.asarray(sdf_x), rtol=1e-4,
+                               atol=1e-6)
+    qvis_p = (np.asarray(qvp) >= 1e-1).astype(np.float32)
+    # binarized interpolated visibility agrees except at argmin ties
+    agree = (qvis_p == np.asarray(qvis_x)[:, 0]).mean()
+    assert agree > 0.97, agree

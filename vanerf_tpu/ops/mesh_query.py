@@ -210,6 +210,30 @@ def point_mesh_sdf(verts: jnp.ndarray, faces: jnp.ndarray,
     return dist * sign, idx
 
 
+def cal_vis_sdf_fast(verts: jnp.ndarray, faces: jnp.ndarray,
+                     points: jnp.ndarray, vert_vis: jnp.ndarray,
+                     chunk: int = 2048):
+    """cal_vis_sdf without the closest-face output (the renderer never uses
+    it — nor does the reference's fusion net, networks.py:75).  On TPU the
+    visibility interpolation happens INSIDE the pallas kernel, saving the
+    post-kernel closest-face gathers.
+
+    Returns sdf (N,), query_vis (N, 1).
+    """
+    if _use_pallas():
+        from .mesh_query_pallas import point_mesh_query_vis_pallas
+        tri = verts[faces]
+        face_vis = vert_vis[..., 0][faces]               # (F, 3)
+        d2, _idx, w, qv = point_mesh_query_vis_pallas(points, tri, face_vis)
+        dist = jnp.sqrt(d2 + 1e-6)
+        sign = jnp.where(w > 0.5, -1.0, 1.0)
+        qvis = (qv >= 1e-1).astype(verts.dtype)[:, None]
+        return dist * sign, qvis
+    sdf, query_vis, _cface = cal_vis_sdf(verts, faces, points, vert_vis,
+                                         chunk=chunk)
+    return sdf, query_vis
+
+
 def cal_vis_sdf(verts: jnp.ndarray, faces: jnp.ndarray, points: jnp.ndarray,
                 vert_vis: jnp.ndarray, chunk: int = 2048):
     """SDF + interpolated visibility + closest-face ids per query point.

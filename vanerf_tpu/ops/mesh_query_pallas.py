@@ -195,6 +195,149 @@ def _distance_chunk(px, py, pz, ax, ay, az, bx, by, bz, cx, cy, cz,
             jnp.where(better, carg, idx_best))
 
 
+def _kernel_vis(pts_ref, tri_ref, vis_ref, d2_ref, idx_ref, wind_ref,
+                qvis_ref, *, n_chunks):
+    """Distance + winding + in-kernel visibility interpolation.
+
+    The reference interpolates per-vertex visibility onto each query's
+    closest face with plane-projection barycentrics
+    (mesh_util.py:516-522).  Ericson's va/vb/vc (already computed in the
+    distance test) ARE those barycentrics up to normalization, so the
+    interpolation costs a few extra VPU ops per pair here instead of
+    three ~2 ms 262k-row gathers afterwards.
+    """
+    p = pts_ref[:]
+    px = p[:, 0:1]
+    py = p[:, 1:2]
+    pz = p[:, 2:3]
+
+    d2_best = jnp.full((TILE_P, 1), jnp.inf, jnp.float32)
+    idx_best = jnp.zeros((TILE_P, 1), jnp.int32)
+    qvis_best = jnp.zeros((TILE_P, 1), jnp.float32)
+    wind = jnp.zeros((TILE_P, 1), jnp.float32)
+
+    for c in range(n_chunks):
+        sl = pl.ds(c * FACE_CHUNK, FACE_CHUNK)
+        ax = tri_ref[0:1, sl]
+        ay = tri_ref[1:2, sl]
+        az = tri_ref[2:3, sl]
+        bx = tri_ref[3:4, sl]
+        by = tri_ref[4:5, sl]
+        bz = tri_ref[5:6, sl]
+        cx = tri_ref[6:7, sl]
+        cy = tri_ref[7:8, sl]
+        cz = tri_ref[8:9, sl]
+        visa = vis_ref[0:1, sl]
+        visb = vis_ref[1:2, sl]
+        visc = vis_ref[2:3, sl]
+
+        d2_new, idx_new, qv_sel = _distance_chunk_vis(
+            px, py, pz, ax, ay, az, bx, by, bz, cx, cy, cz,
+            visa, visb, visc, d2_best, idx_best, c)
+        better = d2_new < d2_best
+        qvis_best = jnp.where(better, qv_sel, qvis_best)
+        d2_best = d2_new
+        idx_best = idx_new
+
+        r1x, r1y, r1z = ax - px, ay - py, az - pz
+        r2x, r2y, r2z = bx - px, by - py, bz - pz
+        r3x, r3y, r3z = cx - px, cy - py, cz - pz
+        n1 = jnp.sqrt(r1x * r1x + r1y * r1y + r1z * r1z)
+        n2 = jnp.sqrt(r2x * r2x + r2y * r2y + r2z * r2z)
+        n3 = jnp.sqrt(r3x * r3x + r3y * r3y + r3z * r3z)
+        crx = r2y * r3z - r2z * r3y
+        cry = r2z * r3x - r2x * r3z
+        crz = r2x * r3y - r2y * r3x
+        num = r1x * crx + r1y * cry + r1z * crz
+        den = (n1 * n2 * n3
+               + (r1x * r2x + r1y * r2y + r1z * r2z) * n3
+               + (r1x * r3x + r1y * r3y + r1z * r3z) * n2
+               + (r2x * r3x + r2y * r3y + r2z * r3z) * n1)
+        wind = wind + jnp.sum(2.0 * _atan2(num, den), axis=1, keepdims=True)
+
+    d2_ref[:] = d2_best
+    idx_ref[:] = idx_best
+    wind_ref[:] = wind / (4.0 * jnp.pi)
+    qvis_ref[:] = qvis_best
+
+
+def _distance_chunk_vis(px, py, pz, ax, ay, az, bx, by, bz, cx, cy, cz,
+                        visa, visb, visc, d2_best, idx_best, c):
+    """_distance_chunk + plane-projection barycentric visibility of the
+    chunk-argmin face, selected without cross-lane gathers."""
+    abx, aby, abz = bx - ax, by - ay, bz - az
+    acx, acy, acz = cx - ax, cy - ay, cz - az
+    apx, apy, apz = px - ax, py - ay, pz - az
+
+    d1 = abx * apx + aby * apy + abz * apz
+    d2_ = acx * apx + acy * apy + acz * apz
+    bpx, bpy, bpz = px - bx, py - by, pz - bz
+    d3 = abx * bpx + aby * bpy + abz * bpz
+    d4 = acx * bpx + acy * bpy + acz * bpz
+    cpx, cpy, cpz = px - cx, py - cy, pz - cz
+    d5 = abx * cpx + aby * cpy + abz * cpz
+    d6 = acx * cpx + acy * cpy + acz * cpz
+
+    va = d3 * d6 - d5 * d4
+    vb = d5 * d2_ - d1 * d6
+    vc = d1 * d4 - d3 * d2_
+
+    denom = va + vb + vc
+    denom = jnp.where(denom == 0, 1.0, denom)
+    v_f = vb / denom
+    w_f = vc / denom
+    # plane-projection barycentric visibility (unclamped, like the
+    # reference's Heidrich projection)
+    qv = (1.0 - v_f - w_f) * visa + v_f * visb + w_f * visc
+
+    in_a = (d1 <= 0) & (d2_ <= 0)
+    in_b = (d3 >= 0) & (d4 <= d3)
+    in_c = (d6 >= 0) & (d5 <= d6)
+    in_ab = (vc <= 0) & (d1 >= 0) & (d3 <= 0)
+    in_ac = (vb <= 0) & (d2_ >= 0) & (d6 <= 0)
+    in_bc = (va <= 0) & ((d4 - d3) >= 0) & ((d5 - d6) >= 0)
+
+    eps = 1e-20
+    t_ab = d1 / jnp.maximum(d1 - d3, eps)
+    t_ac = d2_ / jnp.maximum(d2_ - d6, eps)
+    t_bc = (d4 - d3) / jnp.maximum((d4 - d3) + (d5 - d6), eps)
+
+    qx = ax + v_f * abx + w_f * acx
+    qy = ay + v_f * aby + w_f * acy
+    qz = az + v_f * abz + w_f * acz
+    qx = jnp.where(in_bc, bx + t_bc * (cx - bx), qx)
+    qy = jnp.where(in_bc, by + t_bc * (cy - by), qy)
+    qz = jnp.where(in_bc, bz + t_bc * (cz - bz), qz)
+    qx = jnp.where(in_ac, ax + t_ac * acx, qx)
+    qy = jnp.where(in_ac, ay + t_ac * acy, qy)
+    qz = jnp.where(in_ac, az + t_ac * acz, qz)
+    qx = jnp.where(in_ab, ax + t_ab * abx, qx)
+    qy = jnp.where(in_ab, ay + t_ab * aby, qy)
+    qz = jnp.where(in_ab, az + t_ab * abz, qz)
+    qx = jnp.where(in_c, cx, qx)
+    qy = jnp.where(in_c, cy, qy)
+    qz = jnp.where(in_c, cz, qz)
+    qx = jnp.where(in_a, ax, qx)
+    qy = jnp.where(in_a, ay, qy)
+    qz = jnp.where(in_a, az, qz)
+    qx = jnp.where(in_b, bx, qx)
+    qy = jnp.where(in_b, by, qy)
+    qz = jnp.where(in_b, bz, qz)
+
+    dx, dy, dz = px - qx, py - qy, pz - qz
+    d2c = dx * dx + dy * dy + dz * dz
+
+    cmin = jnp.min(d2c, axis=1, keepdims=True)
+    carg_local = jnp.argmin(d2c, axis=1).astype(jnp.int32)[:, None]
+    lane = jax.lax.broadcasted_iota(jnp.int32, d2c.shape, 1)
+    qv_sel = jnp.sum(jnp.where(lane == carg_local, qv, 0.0), axis=1,
+                     keepdims=True)
+    better = cmin < d2_best
+    return (jnp.where(better, cmin, d2_best),
+            jnp.where(better, carg_local + c * FACE_CHUNK, idx_best),
+            qv_sel)
+
+
 def _kernel(pts_ref, tri_ref, d2_ref, idx_ref, wind_ref, *, n_chunks,
             with_winding):
     p = pts_ref[:]                                    # (TILE_P, 3)
@@ -317,3 +460,51 @@ def point_mesh_query_pallas(points: jnp.ndarray, triangles: jnp.ndarray,
             interpret=interpret,
         )(pts, tri)
     return d2[:N, 0], idx[:N, 0], wind[:N, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def point_mesh_query_vis_pallas(points: jnp.ndarray, triangles: jnp.ndarray,
+                                face_vis: jnp.ndarray,
+                                interpret: bool = False):
+    """Fused distance + argmin + winding + interpolated visibility.
+
+    Args:
+      points: (N, 3); triangles: (F, 3, 3);
+      face_vis: (F, 3) per-corner visibility values.
+    Returns:
+      sq_dist (N,), face_idx (N,) int32, winding (N,), query_vis (N,).
+    """
+    N = points.shape[0]
+    F = triangles.shape[0]
+    pad_p = (-N) % TILE_P
+    pad_f = (-F) % FACE_CHUNK
+
+    pts = jnp.pad(points.astype(jnp.float32), ((0, pad_p), (0, 0)))
+    tri = triangles.astype(jnp.float32).reshape(F, 9).T
+    tri = jnp.pad(tri, ((0, 0), (0, pad_f)), constant_values=1e9)
+    vis = jnp.pad(face_vis.astype(jnp.float32).T, ((0, 0), (0, pad_f)))
+    n_chunks = tri.shape[1] // FACE_CHUNK
+    grid = (pts.shape[0] // TILE_P,)
+
+    out_specs = [pl.BlockSpec((TILE_P, 1), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)] * 4
+    out_shape = [
+        jax.ShapeDtypeStruct((pts.shape[0], 1), jnp.float32),
+        jax.ShapeDtypeStruct((pts.shape[0], 1), jnp.int32),
+        jax.ShapeDtypeStruct((pts.shape[0], 1), jnp.float32),
+        jax.ShapeDtypeStruct((pts.shape[0], 1), jnp.float32),
+    ]
+    kernel = functools.partial(_kernel_vis, n_chunks=n_chunks)
+    d2, idx, wind, qvis = pl.pallas_call(
+        kernel, grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE_P, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, tri.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tri.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs, out_shape=out_shape, interpret=interpret,
+    )(pts, tri, vis)
+    return d2[:N, 0], idx[:N, 0], wind[:N, 0], qvis[:N, 0]

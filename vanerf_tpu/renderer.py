@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from .ops.composite import rgba2out
-from .ops.mesh_query import cal_vis_sdf
+from .ops.mesh_query import cal_vis_sdf_fast
 from .ops.rasterize import vertex_visibility, render_vis_map
 from .ops.ray import pixel_grid_rays, ray_bbox_intersection
 from .ops.sampling import importance_sample, stratified_sample
@@ -188,8 +188,9 @@ def render_patch(model, params, batch: Dict[str, Any], *, rng,
         view = jnp.broadcast_to(cam_rays[:, :, None, :],
                                 (B, P, n_samples, 3)).reshape(B, -1, 3)
 
-        sdf, q_vis, _cface = jax.vmap(
-            lambda vt, p, vv: cal_vis_sdf(vt, faces, p, vv, chunk=sdf_chunk))(
+        sdf, q_vis = jax.vmap(
+            lambda vt, p, vv: cal_vis_sdf_fast(vt, faces, p, vv,
+                                               chunk=sdf_chunk))(
             verts, pts, vert_vis)
         q_sdf = sdf[..., None]                                # (B, N, 1)
 
