@@ -86,3 +86,20 @@ def test_pallas_fused_vis_matches_cal_vis_sdf(mesh_and_points):
     # binarized interpolated visibility agrees except at argmin ties
     agree = (qvis_p == np.asarray(qvis_x)[:, 0]).mean()
     assert agree > 0.97, agree
+
+
+def test_pallas_fused_vis_ray_mode_matches_solid(mesh_and_points):
+    from vanerf_tpu.ops.mesh_query_pallas import point_mesh_query_vis_pallas
+    from oracles import make_icosphere
+    tri, pts = mesh_and_points
+    rng = np.random.default_rng(2)
+    F = tri.shape[0]
+    face_vis = jnp.asarray((rng.random((F, 3)) > 0.4).astype(np.float32))
+    d2s, _, ws, qs = point_mesh_query_vis_pallas(pts, tri, face_vis,
+                                                 interpret=True,
+                                                 mode="solid_angle")
+    d2r, _, wr, qr = point_mesh_query_vis_pallas(pts, tri, face_vis,
+                                                 interpret=True, mode="ray")
+    np.testing.assert_allclose(np.asarray(d2s), np.asarray(d2r), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ws) > 0.5, np.asarray(wr) > 0.5)
+    np.testing.assert_allclose(np.asarray(qs), np.asarray(qr), atol=1e-5)

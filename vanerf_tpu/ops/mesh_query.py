@@ -221,10 +221,13 @@ def cal_vis_sdf_fast(verts: jnp.ndarray, faces: jnp.ndarray,
     Returns sdf (N,), query_vis (N, 1).
     """
     if _use_pallas():
+        import os
         from .mesh_query_pallas import point_mesh_query_vis_pallas
         tri = verts[faces]
         face_vis = vert_vis[..., 0][faces]               # (F, 3)
-        d2, _idx, w, qv = point_mesh_query_vis_pallas(points, tri, face_vis)
+        mode = os.environ.get("VANERF_WINDING", "ray")
+        d2, _idx, w, qv = point_mesh_query_vis_pallas(points, tri, face_vis,
+                                                      mode=mode)
         dist = jnp.sqrt(d2 + 1e-6)
         sign = jnp.where(w > 0.5, -1.0, 1.0)
         qvis = (qv >= 1e-1).astype(verts.dtype)[:, None]

@@ -462,10 +462,11 @@ def point_mesh_query_pallas(points: jnp.ndarray, triangles: jnp.ndarray,
     return d2[:N, 0], idx[:N, 0], wind[:N, 0]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "mode"))
 def point_mesh_query_vis_pallas(points: jnp.ndarray, triangles: jnp.ndarray,
                                 face_vis: jnp.ndarray,
-                                interpret: bool = False):
+                                interpret: bool = False,
+                                mode: str = "solid_angle"):
     """Fused distance + argmin + winding + interpolated visibility.
 
     Args:
@@ -494,17 +495,107 @@ def point_mesh_query_vis_pallas(points: jnp.ndarray, triangles: jnp.ndarray,
         jax.ShapeDtypeStruct((pts.shape[0], 1), jnp.float32),
         jax.ShapeDtypeStruct((pts.shape[0], 1), jnp.float32),
     ]
-    kernel = functools.partial(_kernel_vis, n_chunks=n_chunks)
-    d2, idx, wind, qvis = pl.pallas_call(
-        kernel, grid=grid,
-        in_specs=[
-            pl.BlockSpec((TILE_P, 3), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, tri.shape[1]), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, tri.shape[1]), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=out_specs, out_shape=out_shape, interpret=interpret,
-    )(pts, tri, vis)
+    pts_spec = pl.BlockSpec((TILE_P, 3), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def fspec(rows):
+        return pl.BlockSpec((rows, tri.shape[1]), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    if mode == "ray":
+        wtri = _ray_constants(triangles.astype(jnp.float32), pad_f)
+        kernel = functools.partial(_kernel_vis_ray, n_chunks=n_chunks)
+        d2, idx, wind, qvis = pl.pallas_call(
+            kernel, grid=grid,
+            in_specs=[pts_spec, fspec(9), fspec(3), fspec(10)],
+            out_specs=out_specs, out_shape=out_shape, interpret=interpret,
+        )(pts, tri, vis, wtri)
+    else:
+        kernel = functools.partial(_kernel_vis, n_chunks=n_chunks)
+        d2, idx, wind, qvis = pl.pallas_call(
+            kernel, grid=grid,
+            in_specs=[pts_spec, fspec(9), fspec(3)],
+            out_specs=out_specs, out_shape=out_shape, interpret=interpret,
+        )(pts, tri, vis)
     return d2[:N, 0], idx[:N, 0], wind[:N, 0], qvis[:N, 0]
+
+
+def _kernel_vis_ray(pts_ref, tri_ref, vis_ref, wtri_ref, d2_ref, idx_ref,
+                    wind_ref, qvis_ref, *, n_chunks):
+    """_kernel_vis with signed-ray-crossing winding (no sqrt/atan2)."""
+    p = pts_ref[:]
+    px = p[:, 0:1]
+    py = p[:, 1:2]
+    pz = p[:, 2:3]
+
+    d2_best = jnp.full((TILE_P, 1), jnp.inf, jnp.float32)
+    idx_best = jnp.zeros((TILE_P, 1), jnp.int32)
+    qvis_best = jnp.zeros((TILE_P, 1), jnp.float32)
+    wind = jnp.zeros((TILE_P, 1), jnp.float32)
+
+    for c in range(n_chunks):
+        sl = pl.ds(c * FACE_CHUNK, FACE_CHUNK)
+        ax = tri_ref[0:1, sl]
+        ay = tri_ref[1:2, sl]
+        az = tri_ref[2:3, sl]
+        bx = tri_ref[3:4, sl]
+        by = tri_ref[4:5, sl]
+        bz = tri_ref[5:6, sl]
+        cx = tri_ref[6:7, sl]
+        cy = tri_ref[7:8, sl]
+        cz = tri_ref[8:9, sl]
+        visa = vis_ref[0:1, sl]
+        visb = vis_ref[1:2, sl]
+        visc = vis_ref[2:3, sl]
+
+        d2_new, idx_new, qv_sel = _distance_chunk_vis(
+            px, py, pz, ax, ay, az, bx, by, bz, cx, cy, cz,
+            visa, visb, visc, d2_best, idx_best, c)
+        better = d2_new < d2_best
+        qvis_best = jnp.where(better, qv_sel, qvis_best)
+        d2_best = d2_new
+        idx_best = idx_new
+
+        pvx = wtri_ref[0:1, sl]
+        pvy = wtri_ref[1:2, sl]
+        pvz = wtri_ref[2:3, sl]
+        e1x = wtri_ref[3:4, sl]
+        e1y = wtri_ref[4:5, sl]
+        e1z = wtri_ref[5:6, sl]
+        e2x = wtri_ref[6:7, sl]
+        e2y = wtri_ref[7:8, sl]
+        e2z = wtri_ref[8:9, sl]
+        det = wtri_ref[9:10, sl]
+
+        qx = px - ax
+        qy = py - ay
+        qz = pz - az
+        u_num = qx * pvx + qy * pvy + qz * pvz
+        qvx = qy * e1z - qz * e1y
+        qvy = qz * e1x - qx * e1z
+        qvz = qx * e1y - qy * e1x
+        v_num = _RAY_D[0] * qvx + _RAY_D[1] * qvy + _RAY_D[2] * qvz
+        t_num = e2x * qvx + e2y * qvy + e2z * qvz
+
+        hit = ((u_num * det >= 0) & (v_num * det >= 0)
+               & ((u_num + v_num - det) * det <= 0) & (t_num * det > 0))
+        sign = jnp.where(det > 0, -1.0, 1.0)
+        wind = wind + jnp.sum(jnp.where(hit, sign, 0.0), axis=1,
+                              keepdims=True)
+
+    d2_ref[:] = d2_best
+    idx_ref[:] = idx_best
+    wind_ref[:] = wind
+    qvis_ref[:] = qvis_best
+
+
+def _ray_constants(tri_f: jnp.ndarray, pad_f: int) -> jnp.ndarray:
+    """Per-face Moller-Trumbore constants for the fixed winding ray."""
+    F = tri_f.shape[0]
+    d = jnp.asarray(_RAY_D, jnp.float32)
+    e1 = tri_f[:, 1] - tri_f[:, 0]
+    e2 = tri_f[:, 2] - tri_f[:, 0]
+    pv = jnp.cross(jnp.broadcast_to(d, e2.shape), e2)
+    det = jnp.sum(e1 * pv, axis=-1)
+    wtri = jnp.concatenate([pv.T, e1.T, e2.T, det[None]], 0)   # (10, F)
+    return jnp.pad(wtri, ((0, 0), (0, pad_f)))
