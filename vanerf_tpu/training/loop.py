@@ -22,6 +22,37 @@ from .checkpoints import CheckpointManager
 from .train_step import TrainState
 
 
+class Prefetcher:
+    """Background-thread batch prefetcher (the DataLoader-worker analog).
+
+    The reference leans on torch DataLoader workers (``model.py:74-105``);
+    here a daemon thread keeps `depth` collated batches ahead of the train
+    step so host-side decode/MANO work overlaps device compute.
+    """
+
+    def __init__(self, make_batch: Callable[[int], Any], n_steps: int,
+                 depth: int = 2):
+        import queue
+        import threading
+        self.q = queue.Queue(maxsize=depth)
+        self.n = n_steps
+
+        def worker():
+            for i in range(n_steps):
+                self.q.put(make_batch(i))
+            self.q.put(None)
+
+        self.t = threading.Thread(target=worker, daemon=True)
+        self.t.start()
+
+    def __iter__(self):
+        while True:
+            b = self.q.get()
+            if b is None:
+                return
+            yield b
+
+
 class MetricLogger:
     """TensorBoard if available, always a JSONL mirror."""
 
@@ -82,13 +113,18 @@ def fit(train_step: Callable, state: TrainState, dataset,
     for epoch in range(start_epoch, max_epochs):
         perm = order_rng.permutation(n)
         t_epoch = time.time()
-        for bi in range(steps_per_epoch):
+
+        def make_batch(bi, perm=perm):
             idxs = perm[bi * batch_size:(bi + 1) * batch_size]
             items = [dataset[int(i)] for i in idxs]
             items = [it for it in items if it is not None]
-            if not items:           # None-tolerant collate (model.py:123-132)
+            if not items:       # None-tolerant collate (model.py:123-132)
+                return ()
+            return collate(items)
+
+        for batch in Prefetcher(make_batch, steps_per_epoch):
+            if batch == ():
                 continue
-            batch = collate(items)
             rng, krun = jax.random.split(rng)
             state, logs = train_step(state, batch, krun)
             step_i += 1
