@@ -150,3 +150,45 @@ def test_vanerf_query_end_to_end_tiny():
     assert out.shape == (B, N, 5)
     assert valid.shape == (B, N, 1)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_vanerf_query_bf16_matches_f32():
+    """The bf16 activation policy must agree with the f32 path to bf16
+    tolerance (params stay f32; only activations are cast)."""
+    cfg = vconfig.default_cfg()
+    model32 = VANeRF.from_config(cfg, num_v=10)
+    cfg16 = vconfig.default_cfg()
+    cfg16["models"]["VANeRF"]["compute_dtype"] = "bfloat16"
+    model16 = VANeRF.from_config(cfg16, num_v=10)
+    assert model16.compute_dtype == "bfloat16"
+
+    B, V2, H, W = 1, 20, 128, 128
+    n_rays, n_samples = 4, 8
+    N = n_rays * n_samples
+    im = jax.random.uniform(jax.random.PRNGKey(3), (B, H, W, 3))
+    fg = jnp.ones((B, H, W, 1))
+    pts = jax.random.normal(KEY, (B, N, 3)) * 0.05
+    view = jnp.ones((B, N, 3)) / np.sqrt(3)
+    K = jnp.eye(4).at[0, 0].set(200.0).at[1, 1].set(200.0) \
+        .at[0, 2].set(W / 2).at[1, 2].set(H / 2)[None]
+    Rt = jnp.eye(4).at[2, 3].set(1.0)[None]
+    cam = {"KRT": K @ Rt, "extrin": Rt, "width": W, "height": H,
+           "znear": 0.5, "zfar": 2.0}
+    verts = jax.random.normal(jax.random.PRNGKey(1), (B, V2, 3)) * 0.05
+    vert_vis = jnp.ones((B, V2, 1))
+    q_vis = jnp.ones((B, N, 1))
+    q_sdf = jnp.zeros((B, N, 1))
+    kpt3d = jnp.zeros((B, 42, 3))
+
+    variables = model32.init(KEY, im, pts, view, cam, fg, verts, vert_vis,
+                             q_vis, q_sdf, kpt3d, n_samples)
+    out32, valid32 = model32.apply(variables, im, pts, view, cam, fg, verts,
+                                   vert_vis, q_vis, q_sdf, kpt3d, n_samples)
+    out16, valid16 = model16.apply(variables, im, pts, view, cam, fg, verts,
+                                   vert_vis, q_vis, q_sdf, kpt3d, n_samples)
+    assert out16.dtype == jnp.float32      # outputs cast back for compositing
+    np.testing.assert_array_equal(np.asarray(valid32), np.asarray(valid16))
+    assert np.isfinite(np.asarray(out16)).all()
+    # bf16 has ~2-3 significant digits; the fusion chain compounds it
+    np.testing.assert_allclose(np.asarray(out16), np.asarray(out32),
+                               atol=0.1, rtol=0.1)

@@ -24,9 +24,9 @@ class GateMLP(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.hidden, use_bias=False)(x)
+        x = nn.Dense(self.hidden, use_bias=False, dtype=x.dtype)(x)
         x = nn.relu(x)
-        x = nn.Dense(self.out, use_bias=False)(x)
+        x = nn.Dense(self.out, use_bias=False, dtype=x.dtype)(x)
         return nn.sigmoid(x)
 
 
@@ -37,9 +37,9 @@ class FuseMLP(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.hidden, use_bias=False)(x)
+        x = nn.Dense(self.hidden, use_bias=False, dtype=x.dtype)(x)
         x = nn.relu(x)
-        return nn.Dense(self.out, use_bias=False)(x)
+        return nn.Dense(self.out, use_bias=False, dtype=x.dtype)(x)
 
 
 class GeoVisFusion(nn.Module):
@@ -180,6 +180,9 @@ class TexVisFusion(nn.Module):
         gf = jnp.concatenate([gf_img, gf_tex], -1)              # (B, 42, 18)
         gf = Conv1dLN(self.num_v, 18, name="gt0")(gf)           # (B, V, 18)
         gf = Conv1dLN(self.num_v * 2, 18, name="gt1")(gf)       # (B, 2V, 18)
+        # the global-ctx branch runs in f32 (per-frame, tiny); cast so the
+        # hot per-point KNN gather below stays in the compute dtype
+        gf = gf.astype(vert_feat.dtype)
         vert_feat = jnp.concatenate([vert_feat, gf], -1)        # (B, V2, 29)
 
         f_knn, f_knn_toh, vis_th, vis_toh = knn_gather_1(

@@ -53,7 +53,9 @@ class WNLinear(nn.Module):
             w = v * (g[None, :] / norm)
         else:
             w = v
-        return x @ w + b
+        # follow the input compute dtype (params stay f32; the weight-norm
+        # above is computed in f32, only the matmul runs in e.g. bf16)
+        return x @ w.astype(x.dtype) + b.astype(x.dtype)
 
 
 class MLP(nn.Module):

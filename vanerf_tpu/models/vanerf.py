@@ -48,6 +48,11 @@ class VANeRF(nn.Module):
     train_out_h: int = 64
     train_out_w: int = 64
     dr_level: int = 5
+    # activation dtype of the hot per-point query path (params stay f32;
+    # coordinate/projection math, the density activation and all losses stay
+    # f32).  "bfloat16" halves the HBM traffic of the 262k-point gather +
+    # elementwise chain on TPU.
+    compute_dtype: str = "float32"
 
     @classmethod
     def from_config(cls, cfg: dict, num_v: int = 779) -> "VANeRF":
@@ -62,8 +67,12 @@ class VANeRF(nn.Module):
         nd = list(mlp_geo["n_dims1"])
         nd[0] = enc.get_dim()
         mlp_geo["n_dims1"] = nd
+        import os
+        cdt = os.environ.get("VANERF_COMPUTE_DTYPE",
+                             m.get("compute_dtype", "float32"))
         return cls(
             num_v=num_v,
+            compute_dtype=cdt,
             sp_conv=m.get("sp_conv", False),
             sp_args=sp,
             geo_args=dict(m["geo_args"]),
@@ -111,7 +120,8 @@ class VANeRF(nn.Module):
         else:
             self.geo_vis_fusion = GeoVisFusion(num_v=self.num_v)
             self.tex_vis_fusion = TexVisFusion(num_v=self.num_v)
-        self.ibr_compress_gfeat = nn.Dense(self.gcompress_out)
+        self.ibr_compress_gfeat = nn.Dense(
+            self.gcompress_out, dtype=jnp.dtype(self.compute_dtype))
         self.mlp_tex = IBRRenderingHead(in_channels=self.ibr_in_channels)
         # learnable sigmoid-beta, init 0.1, clamped >= 2e-3 at use site
         # (model.py:614, 879-882).
@@ -169,6 +179,17 @@ class VANeRF(nn.Module):
         krt = cam["KRT"]
         width, height = cam["width"], cam["height"]
         znear, zfar = cam["znear"], cam["zfar"]
+
+        # activation-precision policy: feature maps and per-point network
+        # activations run in `compute_dtype` (bf16 on TPU halves the HBM
+        # traffic of the gather/elementwise chain); all coordinate and
+        # projection math below stays f32, and outputs are cast back to f32.
+        cdt = jnp.dtype(self.compute_dtype)
+        if cdt != jnp.float32:
+            feat_geo = [f.astype(cdt) for f in feat_geo]
+            feat_tex = feat_tex.astype(cdt)
+            src_img = src_img.astype(cdt)
+            fg_mask = fg_mask.astype(cdt)
 
         v = jnp.repeat(pts, n_views, axis=0) if n_views != 1 else pts
 
@@ -244,7 +265,7 @@ class VANeRF(nn.Module):
         y = self.sp_encoder(
             v=v, pts=pts, z=z, xy=xy, extrin=cam["extrin"],
             kpt3d=kpt3d, n_view=n_views)                     # (BV, N, 294)
-        y = y.reshape(B, n_views, N, -1)
+        y = y.reshape(B, n_views, N, -1).astype(cdt)
 
         # project mesh vertices into the source views (model.py:845-853)
         vert_rep = (jnp.repeat(verts, n_views, axis=0)
@@ -258,11 +279,11 @@ class VANeRF(nn.Module):
         vert_xy = jnp.stack([vxn, vyn], -1)                  # (BV, V2, 2)
 
         vert_vis_rep = (jnp.repeat(vert_vis, n_views, axis=0)
-                        if n_views != 1 else vert_vis)
+                        if n_views != 1 else vert_vis).astype(cdt)
         q_vis_rep = (jnp.repeat(query_vis, n_views, axis=0)
-                     if n_views != 1 else query_vis)
+                     if n_views != 1 else query_vis).astype(cdt)
         q_sdf_rep = (jnp.repeat(query_sdf, n_views, axis=0)
-                     if n_views != 1 else query_sdf)
+                     if n_views != 1 else query_sdf).astype(cdt)
 
         # nearest-vertex index shared by every fusion net (the argmin over
         # the same (query, verts) pair is identical — compute once).
@@ -287,7 +308,8 @@ class VANeRF(nn.Module):
         fused = [f.reshape(B, n_views, N, -1) for f in fused]
 
         out, valid, _latent_view, latent_fused = self.mlp_geo(
-            y, fused, out_mask, pix_weight)                  # out (B,N,2)
+            y, fused, out_mask.astype(cdt),
+            pix_weight.astype(cdt))                          # out (B,N,2)
 
         bounds_rep = None
         if bounds is not None:
@@ -300,6 +322,7 @@ class VANeRF(nn.Module):
             bounds=bounds_rep, nn_idx=nn_idx, img_xy=img_xy,
             feat_xy=feat_tex_xy)
         out = jnp.concatenate([out, rgb], -1)                # (B, N, 5)
+        out = out.astype(jnp.float32)   # compositing/losses stay f32
         return out, valid.astype(out.dtype)                  # valid (B, N, 1)
 
     # ------------------------------------------------------------------
@@ -351,8 +374,9 @@ class VANeRF(nn.Module):
             x = jnp.transpose(x, (0, 2, 3, 1, 4))
             return x.reshape(B * pHW, n_samples, n_views, C)
 
-        out = self.mlp_tex(to_ibr(rgb_feat), to_ibr(ray_diff),
-                           to_ibr(out_mask))                 # (B*pHW, S, 3)
+        dt = rgb_feat.dtype
+        out = self.mlp_tex(to_ibr(rgb_feat), to_ibr(ray_diff.astype(dt)),
+                           to_ibr(out_mask.astype(dt)))      # (B*pHW, S, 3)
         return out.reshape(B, N, 3)
 
     def __call__(self, im, pts, view, cam, fg_mask, verts, vert_vis,

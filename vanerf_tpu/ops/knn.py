@@ -73,15 +73,18 @@ def knn_gather_1(query: jnp.ndarray, verts: jnp.ndarray,
     """
     idx = (nn_idx if nn_idx is not None
            else jax.vmap(nearest_vertex)(query, verts))    # (B, N)
-    # other-hand lookup = same index shifted by one hand's vertex count;
-    # fuse feat+vis into one array so the hot 262k-row gather runs twice
-    # total instead of four times (TPU gathers dominate this path).
-    V = vert_feat.shape[1]
-    idx_toh = (idx + num_v) % V
-    packed = jnp.concatenate([vert_feat, vert_vis], -1)
+    # TPU gathers are row-count bound, so fuse everything one query row
+    # needs into ONE gather: feat+vis packed channel-wise, and the
+    # other-hand ("toh") row — verts rolled by one hand's vertex count —
+    # appended as extra channels.  1 gather instead of the naive 4.
+    packed = jnp.concatenate(
+        [vert_feat, vert_vis.astype(vert_feat.dtype)], -1)
+    packed_both = jnp.concatenate(
+        [packed, jnp.roll(packed, -num_v, axis=1)], -1)    # (B, V, 2(C+1))
     take = jax.vmap(lambda a, i: jnp.take(a, i, axis=0))
-    g = take(packed, idx)
-    g_toh = take(packed, idx_toh)
+    g2 = take(packed_both, idx)
+    C1 = packed.shape[-1]
+    g, g_toh = g2[..., :C1], g2[..., C1:]
     f, v = g[..., :-1], g[..., -1:]
     f_toh, v_toh = g_toh[..., :-1], g_toh[..., -1:]
     if weight_by_vis:

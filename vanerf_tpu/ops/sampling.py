@@ -64,15 +64,24 @@ def importance_sample(contrib: jnp.ndarray, z: jnp.ndarray, n_samples: int,
     # vectorized right-searchsorted: count of cdf bins <= u.  The vmapped
     # jnp.searchsorted lowers to a serial while-loop on TPU (~13 ms/step);
     # the dense comparison is (B, N, S, D) elementwise and fuses away.
-    idx = jnp.sum((u[..., :, None] >= cdf[..., None, :]),
-                  axis=-1).astype(jnp.int32)
-    idx_prev = jnp.clip(idx - 1, 0, None)
-    idx = jnp.clip(idx, None, cdf.shape[-1] - 1)
+    D = cdf.shape[-1]
+    idx_raw = jnp.sum((u[..., :, None] >= cdf[..., None, :]),
+                      axis=-1).astype(jnp.int32)
+    idx = jnp.clip(idx_raw, None, D - 1)
 
-    cdf_prev = jnp.take_along_axis(cdf, idx_prev, axis=-1)
-    cdf_next = jnp.take_along_axis(cdf, idx, axis=-1)
-    z_prev = jnp.take_along_axis(z, idx_prev, axis=-1)
-    z_next = jnp.take_along_axis(z, idx, axis=-1)
+    # ONE packed gather instead of four (TPU gathers are row-count bound):
+    # packed[j] = [cdf[max(j-1,0)], cdf[j], z[max(j-1,0)], z[j]].
+    packed = jnp.stack(
+        [jnp.concatenate([cdf[..., :1], cdf[..., :-1]], -1), cdf,
+         jnp.concatenate([z[..., :1], z[..., :-1]], -1), z], -1)  # (B,N,D,4)
+    g = jnp.take_along_axis(packed, idx[..., None], axis=-2)      # (B,N,S,4)
+    # idx_raw == D (u at/above the last cdf edge): the reference clips both
+    # prev and next to D-1, so prev falls back to the "next" slot there.
+    over = (idx_raw >= D)
+    cdf_prev = jnp.where(over, g[..., 1], g[..., 0])
+    cdf_next = g[..., 1]
+    z_prev = jnp.where(over, g[..., 3], g[..., 2])
+    z_next = g[..., 3]
 
     num = u - cdf_prev
     den = cdf_next - cdf_prev
