@@ -103,3 +103,42 @@ def test_pallas_fused_vis_ray_mode_matches_solid(mesh_and_points):
     np.testing.assert_allclose(np.asarray(d2s), np.asarray(d2r), rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(ws) > 0.5, np.asarray(wr) > 0.5)
     np.testing.assert_allclose(np.asarray(qs), np.asarray(qr), atol=1e-5)
+
+
+def test_pallas_culled_matches_brute(mesh_and_points):
+    """The branch-and-bound culled kernel must be bit-identical to the
+    brute ray-mode kernel given a valid nearest-vertex upper bound."""
+    from vanerf_tpu.ops.mesh_query_pallas import (
+        point_mesh_query_vis_pallas, point_mesh_query_vis_culled)
+    tri, pts = mesh_and_points
+    F = tri.shape[0]
+    rng = np.random.default_rng(1)
+    face_vis = jnp.asarray(rng.random((F, 3)).astype(np.float32))
+
+    # certified upper bound: exact nearest-corner squared distance
+    corners = np.asarray(tri).reshape(-1, 3)
+    d2v = ((np.asarray(pts)[:, None] - corners[None]) ** 2).sum(-1).min(-1)
+    ub = jnp.asarray(d2v.astype(np.float32))
+
+    d2b, ib, wb, qb = point_mesh_query_vis_pallas(pts, tri, face_vis,
+                                                  interpret=True, mode="ray")
+    d2c, ic, wc, qc = point_mesh_query_vis_culled(pts, tri, face_vis, ub,
+                                                  interpret=True)
+    np.testing.assert_array_equal(np.asarray(d2c), np.asarray(d2b))
+    np.testing.assert_array_equal(np.asarray(ic), np.asarray(ib))
+    np.testing.assert_array_equal(np.asarray(wc), np.asarray(wb))
+    np.testing.assert_array_equal(np.asarray(qc), np.asarray(qb))
+
+
+def test_blocked_relayout_roundtrip():
+    from vanerf_tpu.ops.mesh_query import to_blocked, from_blocked
+    rng = np.random.default_rng(2)
+    P, S = 64, 16
+    x = jnp.asarray(rng.normal(size=(P * S, 3)).astype(np.float32))
+    xb = to_blocked(x, P, S, 16, 8)
+    np.testing.assert_array_equal(
+        np.asarray(from_blocked(xb, P, S, 16, 8)), np.asarray(x))
+    # blocked tiles are (16 rays x 8 samples) contiguous
+    x3 = np.asarray(x).reshape(P, S, 3)
+    np.testing.assert_array_equal(
+        np.asarray(xb)[:128].reshape(16, 8, 3), x3[:16, :8])

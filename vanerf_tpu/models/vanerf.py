@@ -158,7 +158,8 @@ class VANeRF(nn.Module):
     def query(self, pts, view, cam, feat_geo, feat_tex, src_img, fg_mask,
               verts, vert_vis, query_vis, query_sdf, kpt3d,
               n_samples: int, n_views: int = 1, training: bool = False,
-              dropout_rng: Optional[jax.Array] = None, bounds=None):
+              dropout_rng: Optional[jax.Array] = None, bounds=None,
+              nn_idx: Optional[jnp.ndarray] = None):
         """Evaluate (sdf_channel, radiance, rgb) at world points.
 
         Args:
@@ -286,9 +287,13 @@ class VANeRF(nn.Module):
                      if n_views != 1 else query_sdf).astype(cdt)
 
         # nearest-vertex index shared by every fusion net (the argmin over
-        # the same (query, verts) pair is identical — compute once).
-        from ..ops.knn import nearest_vertex
-        nn_idx = jax.vmap(nearest_vertex)(v, vert_rep)       # (BV, N)
+        # the same (query, verts) pair is identical — compute once, or
+        # reuse the caller's result from the mesh-query culling pass).
+        if nn_idx is None:
+            from ..ops.knn import nearest_vertex
+            nn_idx = jax.vmap(nearest_vertex)(v, vert_rep)   # (BV, N)
+        elif nn_idx.shape[0] != B * n_views:
+            nn_idx = jnp.repeat(nn_idx, n_views, axis=0)
 
         if self.sp_conv:
             # SP path feeds the activated prior density instead of raw sdf

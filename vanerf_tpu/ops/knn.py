@@ -13,6 +13,41 @@ import jax
 import jax.numpy as jnp
 
 
+def nearest_vertex_d2(query: jnp.ndarray, verts: jnp.ndarray,
+                      chunk: int = 4096):
+    """Nearest vertex index + squared distance per query point.
+
+    The distance is a certified upper bound on the point-to-mesh squared
+    distance (vertices lie on the mesh) — the culled mesh-query kernel's
+    branch-and-bound bound.
+
+    Args:
+      query: (N, 3); verts: (V, 3).
+    Returns:
+      idx (N,) int32, d2 (N,) float32.
+    """
+    import os
+    backend = os.environ.get("VANERF_MESH_BACKEND", "auto")
+    use_pallas = (backend == "pallas"
+                  or (backend == "auto" and jax.default_backend() == "tpu"))
+    if use_pallas:
+        from .knn_pallas import nearest_vertex_d2_pallas
+        return nearest_vertex_d2_pallas(query, verts)
+    N = query.shape[0]
+
+    def one(qc):
+        d2 = jnp.sum((qc[:, None] - verts[None]) ** 2, axis=-1)
+        return (jnp.argmin(d2, axis=-1).astype(jnp.int32),
+                jnp.min(d2, axis=-1))
+
+    if N <= chunk:
+        return one(query)
+    pad = (-N) % chunk
+    q = jnp.pad(query, ((0, pad), (0, 0))).reshape(-1, chunk, 3)
+    idx, d2 = jax.lax.map(one, q)
+    return idx.reshape(-1)[:N], d2.reshape(-1)[:N]
+
+
 def nearest_vertex(query: jnp.ndarray, verts: jnp.ndarray,
                    chunk: int = 4096) -> jnp.ndarray:
     """Index of the nearest vertex for each query point.

@@ -18,7 +18,7 @@ TILE_P = 256
 VERT_CHUNK = 128  # granularity; the wrapper uses one chunk when V fits
 
 
-def _kernel(pts_ref, verts_ref, idx_ref, *, n_chunks, chunk):
+def _kernel(pts_ref, verts_ref, idx_ref, d2_ref, *, n_chunks, chunk):
     p = pts_ref[:]
     px = p[:, 0:1]
     py = p[:, 1:2]
@@ -42,12 +42,20 @@ def _kernel(pts_ref, verts_ref, idx_ref, *, n_chunks, chunk):
         best = jnp.where(better, cmin, best)
         bidx = jnp.where(better, carg, bidx)
     idx_ref[:] = bidx
+    d2_ref[:] = best
 
 
 @jax.jit
-def nearest_vertex_pallas(query: jnp.ndarray,
-                          verts: jnp.ndarray) -> jnp.ndarray:
-    """(N, 3) queries x (V, 3) verts -> (N,) int32 exact argmin indices."""
+def nearest_vertex_d2_pallas(query: jnp.ndarray, verts: jnp.ndarray):
+    """(N, 3) queries x (V, 3) verts -> exact argmin indices + squared dists.
+
+    The squared distance doubles as a certified upper bound on the
+    point-to-MESH squared distance (every vertex lies on the mesh), which
+    the culled mesh-query kernel uses for branch-and-bound face skipping.
+
+    Returns:
+      idx (N,) int32, d2 (N,) float32.
+    """
     N = query.shape[0]
     V = verts.shape[0]
     pad_p = (-N) % TILE_P
@@ -63,7 +71,7 @@ def nearest_vertex_pallas(query: jnp.ndarray,
         v_pad = vt.shape[1]
     n_chunks = v_pad // chunk
 
-    idx = pl.pallas_call(
+    idx, d2 = pl.pallas_call(
         functools.partial(_kernel, n_chunks=n_chunks, chunk=chunk),
         grid=(pts.shape[0] // TILE_P,),
         in_specs=[
@@ -72,8 +80,16 @@ def nearest_vertex_pallas(query: jnp.ndarray,
             pl.BlockSpec((3, vt.shape[1]), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TILE_P, 1), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((pts.shape[0], 1), jnp.int32),
+        out_specs=[pl.BlockSpec((TILE_P, 1), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((pts.shape[0], 1), jnp.int32),
+                   jax.ShapeDtypeStruct((pts.shape[0], 1), jnp.float32)],
     )(pts, vt)
-    return idx[:N, 0]
+    return idx[:N, 0], d2[:N, 0]
+
+
+@jax.jit
+def nearest_vertex_pallas(query: jnp.ndarray,
+                          verts: jnp.ndarray) -> jnp.ndarray:
+    """(N, 3) queries x (V, 3) verts -> (N,) int32 exact argmin indices."""
+    return nearest_vertex_d2_pallas(query, verts)[0]

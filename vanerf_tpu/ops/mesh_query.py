@@ -264,3 +264,102 @@ def cal_vis_sdf(verts: jnp.ndarray, faces: jnp.ndarray, points: jnp.ndarray,
     q_vis = (vis_tri * bary).sum(-1)
     query_vis = (q_vis >= 1e-1).astype(verts.dtype)[:, None]
     return sdf, query_vis, closest_face.astype(jnp.int32)
+
+
+def blocked_order(P: int, S: int, ray_block: int = 16, s_block: int = 8):
+    """Static block sizes for the spatially-coherent point layout.
+
+    Points come ray-major ((P rays) x (S samples), sample fastest); a
+    128-point kernel tile then spans two full rays — a bbox as long as the
+    whole ray.  Re-ordering into (ray_block x s_block) tiles (16 adjacent
+    pixels x 8 consecutive depths) makes tiles compact in all three
+    dimensions, which is what the culled kernel's AABB tests feed on.
+    Falls back to identity blocks when shapes don't divide.
+    """
+    if P % ray_block or S % s_block:
+        return None
+    return (ray_block, s_block)
+
+
+def to_blocked(x: jnp.ndarray, P: int, S: int, rb: int, sb: int):
+    """(N=P*S, ...) ray-major -> blocked tile order (pure relayout)."""
+    lead = x.shape[1:]
+    x = x.reshape(P // rb, rb, S // sb, sb, *lead)
+    x = jnp.swapaxes(x, 1, 2)
+    return x.reshape(P * S, *lead)
+
+
+def from_blocked(x: jnp.ndarray, P: int, S: int, rb: int, sb: int):
+    """Inverse of :func:`to_blocked`."""
+    lead = x.shape[1:]
+    x = x.reshape(P // rb, S // sb, rb, sb, *lead)
+    x = jnp.swapaxes(x, 1, 2)
+    return x.reshape(P * S, *lead)
+
+
+def _morton_order(centroids: jnp.ndarray) -> jnp.ndarray:
+    """Morton (z-curve) sort order of 3D points — spatially coherent
+    chunks give the culled kernel tight per-chunk bounding boxes."""
+    lo = centroids.min(0)
+    hi = centroids.max(0)
+    q = ((centroids - lo) / jnp.maximum(hi - lo, 1e-9) * 1023.0)
+    q = jnp.clip(q, 0, 1023).astype(jnp.uint32)
+
+    def spread(x):  # interleave 10 bits with two zero bits
+        x = (x | (x << 16)) & jnp.uint32(0x030000FF)
+        x = (x | (x << 8)) & jnp.uint32(0x0300F00F)
+        x = (x | (x << 4)) & jnp.uint32(0x030C30C3)
+        x = (x | (x << 2)) & jnp.uint32(0x09249249)
+        return x
+
+    code = spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
+    return jnp.argsort(code)
+
+
+def cal_vis_sdf_cull(verts: jnp.ndarray, faces: jnp.ndarray,
+                     points: jnp.ndarray, vert_vis: jnp.ndarray,
+                     ub_d2: jnp.ndarray, n_samples: int | None = None,
+                     chunk: int = 2048):
+    """cal_vis_sdf_fast with branch-and-bound face culling (TPU).
+
+    Args:
+      points: (N, 3) in ray-major order (rays x n_samples, sample fastest).
+      ub_d2: (N,) certified squared-distance upper bound per point (the
+        nearest-vertex squared distance from the KNN kernel).
+      n_samples: samples per ray — enables the blocked spatial relayout.
+    Returns sdf (N,), query_vis (N, 1), like :func:`cal_vis_sdf_fast`.
+    """
+    if not _use_pallas():
+        return cal_vis_sdf_fast(verts, faces, points, vert_vis, chunk=chunk)
+    from .mesh_query_pallas import point_mesh_query_vis_culled
+    N = points.shape[0]
+    blocks = None
+    if n_samples is not None and N % n_samples == 0:
+        blocks = blocked_order(N // n_samples, n_samples)
+    if blocks is not None:
+        rb, sb = blocks
+        P = N // n_samples
+        pts_b = to_blocked(points, P, n_samples, rb, sb)
+        ub_b = to_blocked(ub_d2, P, n_samples, rb, sb)
+    else:
+        pts_b, ub_b = points, ub_d2
+
+    tri = verts[faces]
+    face_vis = vert_vis[..., 0][faces]
+    # Morton-sort faces so every 128-face chunk is spatially compact (the
+    # closest-face INDEX is discarded here, so the permutation only needs
+    # to be applied to the per-face inputs; distance/winding/vis are
+    # order-independent).
+    order = _morton_order(tri.mean(1))
+    tri = jnp.take(tri, order, axis=0)
+    face_vis = jnp.take(face_vis, order, axis=0)
+    d2, _idx, w, qv = point_mesh_query_vis_culled(pts_b, tri, face_vis, ub_b)
+
+    if blocks is not None:
+        packed = jnp.stack([d2, w, qv], -1)
+        packed = from_blocked(packed, P, n_samples, rb, sb)
+        d2, w, qv = packed[:, 0], packed[:, 1], packed[:, 2]
+    dist = jnp.sqrt(d2 + 1e-6)
+    sign = jnp.where(w > 0.5, -1.0, 1.0)
+    qvis = (qv >= 1e-1).astype(verts.dtype)[:, None]
+    return dist * sign, qvis

@@ -88,7 +88,7 @@ def _kernel_ray(pts_ref, tri_ref, wtri_ref, d2_ref, idx_ref, wind_ref, *,
 
         d2_best, idx_best = _distance_chunk(
             px, py, pz, ax, ay, az, bx, by, bz, cx, cy, cz,
-            d2_best, idx_best, c)
+            d2_best, idx_best, c * FACE_CHUNK)
 
         # Moller-Trumbore with per-face precomputes, division-free
         pvx = wtri_ref[0:1, sl]
@@ -126,7 +126,7 @@ def _kernel_ray(pts_ref, tri_ref, wtri_ref, d2_ref, idx_ref, wind_ref, *,
 
 
 def _distance_chunk(px, py, pz, ax, ay, az, bx, by, bz, cx, cy, cz,
-                    d2_best, idx_best, c):
+                    d2_best, idx_best, base):
     """Exact point-triangle squared-distance chunk with running min."""
     abx, aby, abz = bx - ax, by - ay, bz - az
     acx, acy, acz = cx - ax, cy - ay, cz - az
@@ -188,8 +188,7 @@ def _distance_chunk(px, py, pz, ax, ay, az, bx, by, bz, cx, cy, cz,
     d2c = dx * dx + dy * dy + dz * dz
 
     cmin = jnp.min(d2c, axis=1, keepdims=True)
-    carg = jnp.argmin(d2c, axis=1).astype(jnp.int32)[:, None] \
-        + c * FACE_CHUNK
+    carg = jnp.argmin(d2c, axis=1).astype(jnp.int32)[:, None] + base
     better = cmin < d2_best
     return (jnp.where(better, cmin, d2_best),
             jnp.where(better, carg, idx_best))
@@ -233,7 +232,7 @@ def _kernel_vis(pts_ref, tri_ref, vis_ref, d2_ref, idx_ref, wind_ref,
 
         d2_new, idx_new, qv_sel = _distance_chunk_vis(
             px, py, pz, ax, ay, az, bx, by, bz, cx, cy, cz,
-            visa, visb, visc, d2_best, idx_best, c)
+            visa, visb, visc, d2_best, idx_best, c * FACE_CHUNK)
         better = d2_new < d2_best
         qvis_best = jnp.where(better, qv_sel, qvis_best)
         d2_best = d2_new
@@ -262,7 +261,7 @@ def _kernel_vis(pts_ref, tri_ref, vis_ref, d2_ref, idx_ref, wind_ref,
 
 
 def _distance_chunk_vis(px, py, pz, ax, ay, az, bx, by, bz, cx, cy, cz,
-                        visa, visb, visc, d2_best, idx_best, c):
+                        visa, visb, visc, d2_best, idx_best, base):
     """_distance_chunk + plane-projection barycentric visibility of the
     chunk-argmin face, selected without cross-lane gathers."""
     abx, aby, abz = bx - ax, by - ay, bz - az
@@ -334,7 +333,7 @@ def _distance_chunk_vis(px, py, pz, ax, ay, az, bx, by, bz, cx, cy, cz,
                      keepdims=True)
     better = cmin < d2_best
     return (jnp.where(better, cmin, d2_best),
-            jnp.where(better, carg_local + c * FACE_CHUNK, idx_best),
+            jnp.where(better, carg_local + base, idx_best),
             qv_sel)
 
 
@@ -364,7 +363,7 @@ def _kernel(pts_ref, tri_ref, d2_ref, idx_ref, wind_ref, *, n_chunks,
 
         d2_best, idx_best = _distance_chunk(
             px, py, pz, ax, ay, az, bx, by, bz, cx, cy, cz,
-            d2_best, idx_best, c)
+            d2_best, idx_best, c * FACE_CHUNK)
 
         if with_winding:
             r1x, r1y, r1z = ax - px, ay - py, az - pz
@@ -550,7 +549,7 @@ def _kernel_vis_ray(pts_ref, tri_ref, vis_ref, wtri_ref, d2_ref, idx_ref,
 
         d2_new, idx_new, qv_sel = _distance_chunk_vis(
             px, py, pz, ax, ay, az, bx, by, bz, cx, cy, cz,
-            visa, visb, visc, d2_best, idx_best, c)
+            visa, visb, visc, d2_best, idx_best, c * FACE_CHUNK)
         better = d2_new < d2_best
         qvis_best = jnp.where(better, qv_sel, qvis_best)
         d2_best = d2_new
@@ -599,3 +598,222 @@ def _ray_constants(tri_f: jnp.ndarray, pad_f: int) -> jnp.ndarray:
     det = jnp.sum(e1 * pv, axis=-1)
     wtri = jnp.concatenate([pv.T, e1.T, e2.T, det[None]], 0)   # (10, F)
     return jnp.pad(wtri, ((0, 0), (0, pad_f)))
+
+
+# ---------------------------------------------------------------------------
+# branch-and-bound culled variant
+# ---------------------------------------------------------------------------
+#
+# Exact results with most (point-tile x face-chunk) pairs skipped:
+#   * distance: a chunk is skipped when the AABB-AABB squared distance
+#     between the tile's bbox and the chunk's bbox exceeds the tile's
+#     certified upper bound (max over points of the nearest-VERTEX squared
+#     distance — every vertex lies on the mesh, so it bounds the face
+#     distance).  Any face that could win the argmin survives, so d2/idx/
+#     vis are bit-identical to the brute kernel.
+#   * winding (ray crossings): a chunk is skipped when the fixed ray swept
+#     from the tile bbox provably misses the chunk bbox (conservative SAT:
+#     per-axis half-space tests + the three d x e_k cross axes).  Skipped
+#     chunks contribute zero crossings for every point in the tile, so the
+#     winding sum is exact.
+#
+# Effectiveness depends on the CALLER passing spatially coherent point
+# order (e.g. ray-block x sample-block tiles); correctness does not.
+
+CULL_CHUNK = 128
+
+
+def _kernel_vis_ray_culled(mask_ref, pts_ref, tri_ref, vis_ref, wtri_ref,
+                           d2_ref, idx_ref, wind_ref, qvis_ref, *, n_chunks):
+    p = pts_ref[:]
+    px = p[:, 0:1]
+    py = p[:, 1:2]
+    pz = p[:, 2:3]
+
+    d2_ref[:] = jnp.full((TILE_P, 1), jnp.inf, jnp.float32)
+    idx_ref[:] = jnp.zeros((TILE_P, 1), jnp.int32)
+    qvis_ref[:] = jnp.zeros((TILE_P, 1), jnp.float32)
+    wind_ref[:] = jnp.zeros((TILE_P, 1), jnp.float32)
+
+    for c in range(n_chunks):
+        bits = mask_ref[0, c]
+        sl = pl.ds(c * CULL_CHUNK, CULL_CHUNK)
+
+        @pl.when((bits & 1) != 0)
+        def _dist():
+            ax = tri_ref[0:1, sl]
+            ay = tri_ref[1:2, sl]
+            az = tri_ref[2:3, sl]
+            bx = tri_ref[3:4, sl]
+            by = tri_ref[4:5, sl]
+            bz = tri_ref[5:6, sl]
+            cx = tri_ref[6:7, sl]
+            cy = tri_ref[7:8, sl]
+            cz = tri_ref[8:9, sl]
+            visa = vis_ref[0:1, sl]
+            visb = vis_ref[1:2, sl]
+            visc = vis_ref[2:3, sl]
+            d2_old = d2_ref[:]
+            d2_new, idx_new, qv_sel = _distance_chunk_vis(
+                px, py, pz, ax, ay, az, bx, by, bz, cx, cy, cz,
+                visa, visb, visc, d2_old, idx_ref[:], c * CULL_CHUNK)
+            better = d2_new < d2_old
+            qvis_ref[:] = jnp.where(better, qv_sel, qvis_ref[:])
+            d2_ref[:] = d2_new
+            idx_ref[:] = idx_new
+
+        @pl.when((bits & 2) != 0)
+        def _wind():
+            ax = tri_ref[0:1, sl]
+            ay = tri_ref[1:2, sl]
+            az = tri_ref[2:3, sl]
+            pvx = wtri_ref[0:1, sl]
+            pvy = wtri_ref[1:2, sl]
+            pvz = wtri_ref[2:3, sl]
+            e1x = wtri_ref[3:4, sl]
+            e1y = wtri_ref[4:5, sl]
+            e1z = wtri_ref[5:6, sl]
+            e2x = wtri_ref[6:7, sl]
+            e2y = wtri_ref[7:8, sl]
+            e2z = wtri_ref[8:9, sl]
+            det = wtri_ref[9:10, sl]
+
+            qx = px - ax
+            qy = py - ay
+            qz = pz - az
+            u_num = qx * pvx + qy * pvy + qz * pvz
+            qvx = qy * e1z - qz * e1y
+            qvy = qz * e1x - qx * e1z
+            qvz = qx * e1y - qy * e1x
+            v_num = _RAY_D[0] * qvx + _RAY_D[1] * qvy + _RAY_D[2] * qvz
+            t_num = e2x * qvx + e2y * qvy + e2z * qvz
+
+            hit = ((u_num * det >= 0) & (v_num * det >= 0)
+                   & ((u_num + v_num - det) * det <= 0) & (t_num * det > 0))
+            sign = jnp.where(det > 0, -1.0, 1.0)
+            wind_ref[:] = wind_ref[:] + jnp.sum(
+                jnp.where(hit, sign, 0.0), axis=1, keepdims=True)
+
+
+def _cull_masks(pts_pad: jnp.ndarray, ub_pad: jnp.ndarray,
+                tri_pad_T: jnp.ndarray) -> jnp.ndarray:
+    """Per-(tile, chunk) skip bits: bit0 = distance needed, bit1 = winding.
+
+    Args:
+      pts_pad: (Np, 3) padded points (edge-replicated padding).
+      ub_pad:  (Np,) certified squared-distance upper bounds (pad with 0).
+      tri_pad_T: (9, Fp) padded corner layout (padding corners at -1e9).
+    Returns:
+      (T, C) int32 bit mask.
+    """
+    T = pts_pad.shape[0] // TILE_P
+    C = tri_pad_T.shape[1] // CULL_CHUNK
+
+    ptile = pts_pad.reshape(T, TILE_P, 3)
+    tmin = ptile.min(1)
+    tmax = ptile.max(1)                                       # (T, 3)
+    ub_t = ub_pad.reshape(T, TILE_P).max(1)                   # (T,)
+
+    corners = tri_pad_T.T.reshape(C, CULL_CHUNK, 3, 3)
+    cmin = corners.min((1, 2))                                # (C, 3)
+    cmax = corners.max((1, 2))
+
+    # --- distance: AABB-AABB squared distance lower bound ---
+    gap = jnp.maximum(0.0, jnp.maximum(cmin[None] - tmax[:, None],
+                                       tmin[:, None] - cmax[None]))
+    lb = (gap * gap).sum(-1)                                  # (T, C)
+    need_d = lb <= ub_t[:, None] * (1.0 + 1e-5) + 1e-12
+
+    # --- winding: does the fixed ray swept from the tile bbox reach the
+    # chunk bbox?  Conservative SAT with 3 half-space axes + ray axis +
+    # the 3 cross axes d x e_k (all perpendicular to d, so the sweep
+    # leaves their projections unchanged). ---
+    d = jnp.asarray(_RAY_D, jnp.float32)
+    half = (cmax[None] >= tmin[:, None]).all(-1)              # (T, C)
+    along = (cmax @ d)[None] >= (tmin @ d)[:, None]
+
+    tcen = 0.5 * (tmin + tmax)
+    text = 0.5 * (tmax - tmin)
+    ccen = 0.5 * (cmin + cmax)
+    cext = 0.5 * (cmax - cmin)
+    axes = jnp.stack([
+        jnp.asarray([0.0, d[2], -d[1]]),
+        jnp.asarray([-d[2], 0.0, d[0]]),
+        jnp.asarray([d[1], -d[0], 0.0])], 0)                  # (3, 3)
+    tproj = tcen @ axes.T                                     # (T, 3)
+    trad = text @ jnp.abs(axes).T
+    cproj = ccen @ axes.T                                     # (C, 3)
+    crad = cext @ jnp.abs(axes).T
+    cross_ok = (jnp.abs(tproj[:, None] - cproj[None])
+                <= trad[:, None] + crad[None] + 1e-7).all(-1)
+    need_w = half & along & cross_ok
+
+    return need_d.astype(jnp.int32) | (need_w.astype(jnp.int32) << 1)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def point_mesh_query_vis_culled(points: jnp.ndarray, triangles: jnp.ndarray,
+                                face_vis: jnp.ndarray, ub_d2: jnp.ndarray,
+                                interpret: bool = False):
+    """Culled fused distance + argmin + ray winding + visibility.
+
+    Bit-identical to ``point_mesh_query_vis_pallas(..., mode='ray')`` given a
+    valid upper bound; see the module comment above for the argument.
+
+    Args:
+      points: (N, 3); triangles: (F, 3, 3); face_vis: (F, 3);
+      ub_d2: (N,) upper bound on the squared point-to-mesh distance
+        (e.g. the nearest-vertex squared distance).
+    Returns:
+      sq_dist (N,), face_idx (N,) int32, winding (N,), query_vis (N,).
+    """
+    N = points.shape[0]
+    F = triangles.shape[0]
+    pad_p = (-N) % TILE_P
+    pad_f = (-F) % CULL_CHUNK
+
+    pts = jnp.pad(points.astype(jnp.float32), ((0, pad_p), (0, 0)),
+                  mode="edge")
+    ub = jnp.pad(ub_d2.astype(jnp.float32), (0, pad_p))
+    tri = triangles.astype(jnp.float32).reshape(F, 9).T
+    # -1e9 padding: the padded chunk sits far below everything (distance-
+    # culled, behind the all-positive winding ray) and is degenerate
+    # (det = 0, vertex-region distance ~1e18) even when not culled.
+    tri = jnp.pad(tri, ((0, 0), (0, pad_f)), constant_values=-1e9)
+    vis = jnp.pad(face_vis.astype(jnp.float32).T, ((0, 0), (0, pad_f)))
+    wtri = _ray_constants(triangles.astype(jnp.float32), pad_f)
+    n_chunks = tri.shape[1] // CULL_CHUNK
+    grid = (pts.shape[0] // TILE_P,)
+
+    mask = _cull_masks(pts, ub, tri)                          # (T, C)
+    # SMEM blocks must be (1, 128)-shaped: pad the chunk axis to 128 and
+    # flatten so tile i reads columns [128i, 128(i+1)).
+    assert n_chunks <= 128, "face count beyond the 128-chunk mask layout"
+    maskf = jnp.pad(mask, ((0, 0), (0, 128 - n_chunks)))
+    maskf = maskf.reshape(1, -1)                              # (1, T*128)
+
+    out_specs = [pl.BlockSpec((TILE_P, 1), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)] * 4
+    out_shape = [
+        jax.ShapeDtypeStruct((pts.shape[0], 1), jnp.float32),
+        jax.ShapeDtypeStruct((pts.shape[0], 1), jnp.int32),
+        jax.ShapeDtypeStruct((pts.shape[0], 1), jnp.float32),
+        jax.ShapeDtypeStruct((pts.shape[0], 1), jnp.float32),
+    ]
+
+    def fspec(rows):
+        return pl.BlockSpec((rows, tri.shape[1]), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_kernel_vis_ray_culled, n_chunks=n_chunks)
+    d2, idx, wind, qvis = pl.pallas_call(
+        kernel, grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 128), lambda i: (0, i),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((TILE_P, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            fspec(9), fspec(3), fspec(10)],
+        out_specs=out_specs, out_shape=out_shape, interpret=interpret,
+    )(maskf, pts, tri, vis, wtri)
+    return d2[:N, 0], idx[:N, 0], wind[:N, 0], qvis[:N, 0]

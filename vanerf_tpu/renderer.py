@@ -27,7 +27,8 @@ import jax
 import jax.numpy as jnp
 
 from .ops.composite import rgba2out
-from .ops.mesh_query import cal_vis_sdf_fast
+from .ops.knn import nearest_vertex_d2
+from .ops.mesh_query import cal_vis_sdf_cull
 from .ops.rasterize import vertex_visibility, render_vis_map
 from .ops.ray import pixel_grid_rays, ray_bbox_intersection
 from .ops.sampling import importance_sample, stratified_sample
@@ -188,10 +189,14 @@ def render_patch(model, params, batch: Dict[str, Any], *, rng,
         view = jnp.broadcast_to(cam_rays[:, :, None, :],
                                 (B, P, n_samples, 3)).reshape(B, -1, 3)
 
+        # nearest vertex once per pass: the squared distance is the culled
+        # mesh kernel's branch-and-bound upper bound, and the index feeds
+        # every fusion net inside model.query (which skips its own argmin).
+        nn_idx, nn_d2 = jax.vmap(nearest_vertex_d2)(pts, verts)
         sdf, q_vis = jax.vmap(
-            lambda vt, p, vv: cal_vis_sdf_fast(vt, faces, p, vv,
-                                               chunk=sdf_chunk))(
-            verts, pts, vert_vis)
+            lambda vt, p, vv, ub: cal_vis_sdf_cull(
+                vt, faces, p, vv, ub, n_samples=n_samples,
+                chunk=sdf_chunk))(verts, pts, vert_vis, nn_d2)
         q_sdf = sdf[..., None]                                # (B, N, 1)
 
         out, valid = model.apply(
@@ -199,7 +204,7 @@ def render_patch(model, params, batch: Dict[str, Any], *, rng,
             batch["src_mask"], verts, vert_vis, q_vis, q_sdf,
             batch["kpt3d"], n_samples, n_views, training,
             dropout_rng=jax.random.fold_in(key, 1) if training else None,
-            bounds=batch["bounds"], method=model.query)
+            bounds=batch["bounds"], nn_idx=nn_idx, method=model.query)
 
         # eval_func (model.py:1140-1160)
         sdf_ch = valid * out[..., 0:1] + (1.0 - valid) * (0.1 / nml_scale)
