@@ -623,6 +623,23 @@ def _ray_constants(tri_f: jnp.ndarray, pad_f: int) -> jnp.ndarray:
 CULL_CHUNK = 128
 
 
+def _ray_constants_folded(tri_f: jnp.ndarray, pad_f: int) -> jnp.ndarray:
+    """Per-face crossing-test constants with the cross products folded in:
+    rows = [pv = d x e2 (3), w2 = e1 x d (3), n = e1 x e2 (3), det (1)].
+
+    Padding rows are zero: det = 0 makes padded faces contribute nothing.
+    """
+    d = jnp.asarray(_RAY_D, jnp.float32)
+    e1 = tri_f[:, 1] - tri_f[:, 0]
+    e2 = tri_f[:, 2] - tri_f[:, 0]
+    pv = jnp.cross(jnp.broadcast_to(d, e2.shape), e2)
+    w2 = jnp.cross(e1, jnp.broadcast_to(d, e1.shape))
+    n = jnp.cross(e1, e2)
+    det = jnp.sum(e1 * pv, axis=-1)
+    wtri = jnp.concatenate([pv.T, w2.T, n.T, det[None]], 0)   # (10, F)
+    return jnp.pad(wtri, ((0, 0), (0, pad_f)))
+
+
 def _kernel_vis_ray_culled(mask_ref, pts_ref, tri_ref, vis_ref, wtri_ref,
                            d2_ref, idx_ref, wind_ref, qvis_ref, *, n_chunks):
     p = pts_ref[:]
@@ -664,35 +681,42 @@ def _kernel_vis_ray_culled(mask_ref, pts_ref, tri_ref, vis_ref, wtri_ref,
 
         @pl.when((bits & 2) != 0)
         def _wind():
+            # Crossing test with fully constant-folded per-face rows:
+            #   u = q.pv (pv = d x e2), v = q.w2 (w2 = e1 x d),
+            #   t = q.n  (n = e1 x e2), q = p - a
+            # — no per-pair cross product.  The per-tile scalar s = +-1
+            # selects the ray direction +-d: flipping d negates u, v and
+            # det, which leaves every det-product unchanged except
+            # t*det (and the crossing sign), so -d crossings are the
+            # t*det < 0 half-line of the SAME arithmetic.
+            s = 1.0 - 2.0 * (mask_ref[0, 127]).astype(jnp.float32)
             ax = tri_ref[0:1, sl]
             ay = tri_ref[1:2, sl]
             az = tri_ref[2:3, sl]
             pvx = wtri_ref[0:1, sl]
             pvy = wtri_ref[1:2, sl]
             pvz = wtri_ref[2:3, sl]
-            e1x = wtri_ref[3:4, sl]
-            e1y = wtri_ref[4:5, sl]
-            e1z = wtri_ref[5:6, sl]
-            e2x = wtri_ref[6:7, sl]
-            e2y = wtri_ref[7:8, sl]
-            e2z = wtri_ref[8:9, sl]
+            w2x = wtri_ref[3:4, sl]
+            w2y = wtri_ref[4:5, sl]
+            w2z = wtri_ref[5:6, sl]
+            nx = wtri_ref[6:7, sl]
+            ny = wtri_ref[7:8, sl]
+            nz = wtri_ref[8:9, sl]
             det = wtri_ref[9:10, sl]
 
             qx = px - ax
             qy = py - ay
             qz = pz - az
             u_num = qx * pvx + qy * pvy + qz * pvz
-            qvx = qy * e1z - qz * e1y
-            qvy = qz * e1x - qx * e1z
-            qvz = qx * e1y - qy * e1x
-            v_num = _RAY_D[0] * qvx + _RAY_D[1] * qvy + _RAY_D[2] * qvz
-            t_num = e2x * qvx + e2y * qvy + e2z * qvz
+            v_num = qx * w2x + qy * w2y + qz * w2z
+            t_num = qx * nx + qy * ny + qz * nz
 
-            hit = ((u_num * det >= 0) & (v_num * det >= 0)
-                   & ((u_num + v_num - det) * det <= 0) & (t_num * det > 0))
-            sign = jnp.where(det > 0, -1.0, 1.0)
+            hitp = ((u_num * det >= 0) & (v_num * det >= 0)
+                    & ((u_num + v_num - det) * det <= 0)
+                    & (s * (t_num * det) > 0))
+            sign = jnp.where(det > 0, -s, s)
             wind_ref[:] = wind_ref[:] + jnp.sum(
-                jnp.where(hit, sign, 0.0), axis=1, keepdims=True)
+                jnp.where(hitp, sign, 0.0), axis=1, keepdims=True)
 
 
 def _cull_masks(pts_pad: jnp.ndarray, ub_pad: jnp.ndarray,
@@ -724,31 +748,43 @@ def _cull_masks(pts_pad: jnp.ndarray, ub_pad: jnp.ndarray,
     lb = (gap * gap).sum(-1)                                  # (T, C)
     need_d = lb <= ub_t[:, None] * (1.0 + 1e-5) + 1e-12
 
-    # --- winding: does the fixed ray swept from the tile bbox reach the
-    # chunk bbox?  Conservative SAT with 3 half-space axes + ray axis +
-    # the 3 cross axes d x e_k (all perpendicular to d, so the sweep
-    # leaves their projections unchanged). ---
-    d = jnp.asarray(_RAY_D, jnp.float32)
-    half = (cmax[None] >= tmin[:, None]).all(-1)              # (T, C)
-    along = (cmax @ d)[None] >= (tmin @ d)[:, None]
-
+    # --- winding: does the ray (direction +-_RAY_D) swept from the tile
+    # bbox reach the chunk bbox?  Conservative SAT: per-axis half-space
+    # tests + the ray axis + the 3 cross axes d x e_k (perpendicular to d,
+    # so the sweep leaves their projections unchanged).  Each tile then
+    # picks whichever direction leaves fewer chunks (crossings along -d
+    # cost nothing extra in the kernel). ---
     tcen = 0.5 * (tmin + tmax)
     text = 0.5 * (tmax - tmin)
     ccen = 0.5 * (cmin + cmax)
     cext = 0.5 * (cmax - cmin)
-    axes = jnp.stack([
-        jnp.asarray([0.0, d[2], -d[1]]),
-        jnp.asarray([-d[2], 0.0, d[0]]),
-        jnp.asarray([d[1], -d[0], 0.0])], 0)                  # (3, 3)
-    tproj = tcen @ axes.T                                     # (T, 3)
-    trad = text @ jnp.abs(axes).T
-    cproj = ccen @ axes.T                                     # (C, 3)
-    crad = cext @ jnp.abs(axes).T
-    cross_ok = (jnp.abs(tproj[:, None] - cproj[None])
-                <= trad[:, None] + crad[None] + 1e-7).all(-1)
-    need_w = half & along & cross_ok
 
-    return need_d.astype(jnp.int32) | (need_w.astype(jnp.int32) << 1)
+    def wind_mask(d):
+        half = jnp.where(d[None, None] > 0,
+                         cmax[None] >= tmin[:, None],
+                         cmin[None] <= tmax[:, None]).all(-1)  # (T, C)
+        along = ((ccen @ d)[None] + (cext @ jnp.abs(d))[None]
+                 >= (tcen @ d)[:, None] - (text @ jnp.abs(d))[:, None])
+        axes = jnp.stack([
+            jnp.stack([jnp.float32(0.0), d[2], -d[1]]),
+            jnp.stack([-d[2], jnp.float32(0.0), d[0]]),
+            jnp.stack([d[1], -d[0], jnp.float32(0.0)])], 0)   # (3, 3)
+        tproj = tcen @ axes.T                                 # (T, 3)
+        trad = text @ jnp.abs(axes).T
+        cproj = ccen @ axes.T                                 # (C, 3)
+        crad = cext @ jnp.abs(axes).T
+        cross_ok = (jnp.abs(tproj[:, None] - cproj[None])
+                    <= trad[:, None] + crad[None] + 1e-7).all(-1)
+        return half & along & cross_ok
+
+    d = jnp.asarray(_RAY_D, jnp.float32)
+    w_pos = wind_mask(d)
+    w_neg = wind_mask(-d)
+    use_neg = w_neg.sum(-1) < w_pos.sum(-1)                   # (T,)
+    need_w = jnp.where(use_neg[:, None], w_neg, w_pos)
+
+    mask = need_d.astype(jnp.int32) | (need_w.astype(jnp.int32) << 1)
+    return mask, use_neg.astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -781,15 +817,17 @@ def point_mesh_query_vis_culled(points: jnp.ndarray, triangles: jnp.ndarray,
     # (det = 0, vertex-region distance ~1e18) even when not culled.
     tri = jnp.pad(tri, ((0, 0), (0, pad_f)), constant_values=-1e9)
     vis = jnp.pad(face_vis.astype(jnp.float32).T, ((0, 0), (0, pad_f)))
-    wtri = _ray_constants(triangles.astype(jnp.float32), pad_f)
+    wtri = _ray_constants_folded(triangles.astype(jnp.float32), pad_f)
     n_chunks = tri.shape[1] // CULL_CHUNK
     grid = (pts.shape[0] // TILE_P,)
 
-    mask = _cull_masks(pts, ub, tri)                          # (T, C)
-    # SMEM blocks must be (1, 128)-shaped: pad the chunk axis to 128 and
-    # flatten so tile i reads columns [128i, 128(i+1)).
-    assert n_chunks <= 128, "face count beyond the 128-chunk mask layout"
+    mask, use_neg = _cull_masks(pts, ub, tri)                 # (T, C), (T,)
+    # SMEM blocks must be (1, 128)-shaped: pad the chunk axis to 128
+    # (slot 127 carries the tile's ray-direction flag) and flatten so
+    # tile i reads columns [128i, 128(i+1)).
+    assert n_chunks <= 127, "face count beyond the 128-chunk mask layout"
     maskf = jnp.pad(mask, ((0, 0), (0, 128 - n_chunks)))
+    maskf = maskf.at[:, 127].set(use_neg)
     maskf = maskf.reshape(1, -1)                              # (1, T*128)
 
     out_specs = [pl.BlockSpec((TILE_P, 1), lambda i: (i, 0),
