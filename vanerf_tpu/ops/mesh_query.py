@@ -316,13 +316,35 @@ def _morton_order(centroids: jnp.ndarray) -> jnp.ndarray:
     return jnp.argsort(code)
 
 
-def cal_vis_sdf_cull(verts: jnp.ndarray, faces: jnp.ndarray,
-                     points: jnp.ndarray, vert_vis: jnp.ndarray,
-                     ub_d2: jnp.ndarray, n_samples: int | None = None,
-                     chunk: int = 2048):
+def prepare_culled_mesh(verts: jnp.ndarray, faces: jnp.ndarray,
+                        vert_vis: jnp.ndarray):
+    """One-time per-mesh preparation for :func:`cal_vis_sdf_prepared`.
+
+    Morton-sorts the faces (spatially compact 128-face chunks for the
+    culled kernel's AABB tests — the closest-face index is discarded
+    downstream, so only the per-face inputs need permuting) and builds the
+    kernel's transposed corner/visibility/crossing-constant arrays.  Also
+    keeps the raw mesh for the non-TPU fallback.
+    """
+    out = {"verts": verts, "faces": faces, "vert_vis": vert_vis}
+    if _use_pallas():
+        from .mesh_query_pallas import prepare_mesh_ray
+        tri = verts[faces]
+        face_vis = vert_vis[..., 0][faces]
+        order = _morton_order(tri.mean(1))
+        tri = jnp.take(tri, order, axis=0)
+        face_vis = jnp.take(face_vis, order, axis=0)
+        out["prep"] = prepare_mesh_ray(tri, face_vis)
+    return out
+
+
+def cal_vis_sdf_prepared(mesh: dict, points: jnp.ndarray,
+                         ub_d2: jnp.ndarray, n_samples: int | None = None,
+                         chunk: int = 2048):
     """cal_vis_sdf_fast with branch-and-bound face culling (TPU).
 
     Args:
+      mesh: output of :func:`prepare_culled_mesh`.
       points: (N, 3) in ray-major order (rays x n_samples, sample fastest).
       ub_d2: (N,) certified squared-distance upper bound per point (the
         nearest-vertex squared distance from the KNN kernel).
@@ -330,7 +352,8 @@ def cal_vis_sdf_cull(verts: jnp.ndarray, faces: jnp.ndarray,
     Returns sdf (N,), query_vis (N, 1), like :func:`cal_vis_sdf_fast`.
     """
     if not _use_pallas():
-        return cal_vis_sdf_fast(verts, faces, points, vert_vis, chunk=chunk)
+        return cal_vis_sdf_fast(mesh["verts"], mesh["faces"], points,
+                                mesh["vert_vis"], chunk=chunk)
     from .mesh_query_pallas import point_mesh_query_vis_culled
     N = points.shape[0]
     blocks = None
@@ -344,16 +367,8 @@ def cal_vis_sdf_cull(verts: jnp.ndarray, faces: jnp.ndarray,
     else:
         pts_b, ub_b = points, ub_d2
 
-    tri = verts[faces]
-    face_vis = vert_vis[..., 0][faces]
-    # Morton-sort faces so every 128-face chunk is spatially compact (the
-    # closest-face INDEX is discarded here, so the permutation only needs
-    # to be applied to the per-face inputs; distance/winding/vis are
-    # order-independent).
-    order = _morton_order(tri.mean(1))
-    tri = jnp.take(tri, order, axis=0)
-    face_vis = jnp.take(face_vis, order, axis=0)
-    d2, _idx, w, qv = point_mesh_query_vis_culled(pts_b, tri, face_vis, ub_b)
+    d2, _idx, w, qv = point_mesh_query_vis_culled(
+        pts_b, None, None, ub_b, prep=mesh["prep"])
 
     if blocks is not None:
         packed = jnp.stack([d2, w, qv], -1)
@@ -361,5 +376,15 @@ def cal_vis_sdf_cull(verts: jnp.ndarray, faces: jnp.ndarray,
         d2, w, qv = packed[:, 0], packed[:, 1], packed[:, 2]
     dist = jnp.sqrt(d2 + 1e-6)
     sign = jnp.where(w > 0.5, -1.0, 1.0)
-    qvis = (qv >= 1e-1).astype(verts.dtype)[:, None]
+    qvis = (qv >= 1e-1).astype(points.dtype)[:, None]
     return dist * sign, qvis
+
+
+def cal_vis_sdf_cull(verts: jnp.ndarray, faces: jnp.ndarray,
+                     points: jnp.ndarray, vert_vis: jnp.ndarray,
+                     ub_d2: jnp.ndarray, n_samples: int | None = None,
+                     chunk: int = 2048):
+    """Single-shot convenience wrapper over prepare + query."""
+    mesh = prepare_culled_mesh(verts, faces, vert_vis)
+    return cal_vis_sdf_prepared(mesh, points, ub_d2, n_samples=n_samples,
+                                chunk=chunk)

@@ -787,10 +787,30 @@ def _cull_masks(pts_pad: jnp.ndarray, ub_pad: jnp.ndarray,
     return mask, use_neg.astype(jnp.int32)
 
 
+def prepare_mesh_ray(triangles: jnp.ndarray, face_vis: jnp.ndarray):
+    """Precompute the culled kernel's per-face arrays (transposed corner
+    layout, visibility rows, folded crossing constants).
+
+    Hoist this out of per-pass calls: the (9, F) concats/pads are
+    layout-hostile (~1 ms each) and identical for every pass over the
+    same mesh.
+    """
+    F = triangles.shape[0]
+    pad_f = (-F) % CULL_CHUNK
+    tri = triangles.astype(jnp.float32).reshape(F, 9).T
+    # -1e9 padding: the padded chunk sits far below everything (distance-
+    # culled, behind the all-positive winding ray) and is degenerate
+    # (det = 0, vertex-region distance ~1e18) even when not culled.
+    tri = jnp.pad(tri, ((0, 0), (0, pad_f)), constant_values=-1e9)
+    vis = jnp.pad(face_vis.astype(jnp.float32).T, ((0, 0), (0, pad_f)))
+    wtri = _ray_constants_folded(triangles.astype(jnp.float32), pad_f)
+    return {"tri9": tri, "vis3": vis, "wtri": wtri}
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def point_mesh_query_vis_culled(points: jnp.ndarray, triangles: jnp.ndarray,
                                 face_vis: jnp.ndarray, ub_d2: jnp.ndarray,
-                                interpret: bool = False):
+                                interpret: bool = False, prep=None):
     """Culled fused distance + argmin + ray winding + visibility.
 
     Bit-identical to ``point_mesh_query_vis_pallas(..., mode='ray')`` given a
@@ -800,24 +820,20 @@ def point_mesh_query_vis_culled(points: jnp.ndarray, triangles: jnp.ndarray,
       points: (N, 3); triangles: (F, 3, 3); face_vis: (F, 3);
       ub_d2: (N,) upper bound on the squared point-to-mesh distance
         (e.g. the nearest-vertex squared distance).
+      prep: optional output of :func:`prepare_mesh_ray` for these
+        triangles/face_vis (skips rebuilding the per-face arrays).
     Returns:
       sq_dist (N,), face_idx (N,) int32, winding (N,), query_vis (N,).
     """
     N = points.shape[0]
-    F = triangles.shape[0]
     pad_p = (-N) % TILE_P
-    pad_f = (-F) % CULL_CHUNK
 
     pts = jnp.pad(points.astype(jnp.float32), ((0, pad_p), (0, 0)),
                   mode="edge")
     ub = jnp.pad(ub_d2.astype(jnp.float32), (0, pad_p))
-    tri = triangles.astype(jnp.float32).reshape(F, 9).T
-    # -1e9 padding: the padded chunk sits far below everything (distance-
-    # culled, behind the all-positive winding ray) and is degenerate
-    # (det = 0, vertex-region distance ~1e18) even when not culled.
-    tri = jnp.pad(tri, ((0, 0), (0, pad_f)), constant_values=-1e9)
-    vis = jnp.pad(face_vis.astype(jnp.float32).T, ((0, 0), (0, pad_f)))
-    wtri = _ray_constants_folded(triangles.astype(jnp.float32), pad_f)
+    if prep is None:
+        prep = prepare_mesh_ray(triangles, face_vis)
+    tri, vis, wtri = prep["tri9"], prep["vis3"], prep["wtri"]
     n_chunks = tri.shape[1] // CULL_CHUNK
     grid = (pts.shape[0] // TILE_P,)
 

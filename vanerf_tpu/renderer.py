@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from .ops.composite import rgba2out
 from .ops.knn import nearest_vertex_d2
-from .ops.mesh_query import cal_vis_sdf_cull
+from .ops.mesh_query import cal_vis_sdf_prepared, prepare_culled_mesh
 from .ops.rasterize import vertex_visibility, render_vis_map
 from .ops.ray import pixel_grid_rays, ray_bbox_intersection
 from .ops.sampling import importance_sample, stratified_sample
@@ -182,6 +182,11 @@ def render_patch(model, params, batch: Dict[str, Any], *, rng,
 
     beta = params["params"]["sigmoid_beta"]
 
+    # per-face kernel constants built once per render (shared by the
+    # coarse and fine mesh-query passes)
+    mesh_prep = jax.vmap(
+        lambda vt, vv: prepare_culled_mesh(vt, faces, vv))(verts, vert_vis)
+
     def query_at(z_depths, n_samples, key):
         """Sample points at depths, run mesh queries + the network."""
         pts = cam_pos[:, :, None] + cam_rays[:, :, None] * z_depths[..., None]
@@ -194,9 +199,9 @@ def render_patch(model, params, batch: Dict[str, Any], *, rng,
         # every fusion net inside model.query (which skips its own argmin).
         nn_idx, nn_d2 = jax.vmap(nearest_vertex_d2)(pts, verts)
         sdf, q_vis = jax.vmap(
-            lambda vt, p, vv, ub: cal_vis_sdf_cull(
-                vt, faces, p, vv, ub, n_samples=n_samples,
-                chunk=sdf_chunk))(verts, pts, vert_vis, nn_d2)
+            lambda m, p, ub: cal_vis_sdf_prepared(
+                m, p, ub, n_samples=n_samples,
+                chunk=sdf_chunk))(mesh_prep, pts, nn_d2)
         q_sdf = sdf[..., None]                                # (B, N, 1)
 
         out, valid = model.apply(
@@ -241,6 +246,13 @@ def render_patch(model, params, batch: Dict[str, Any], *, rng,
         z_new = importance_sample(
             jax.lax.stop_gradient(contrib[..., 1:-1]), z_mid,
             sample_per_ray_f, rng=rngs[2], uniform=uniform or not training)
+        # sort fine depths per ray when jittered: importance samples come
+        # back in random-u order, which destroys the depth coherence of the
+        # culled mesh kernel's (ray x sample) tiles (3x slower fine pass).
+        # Downstream is order-agnostic — the coarse+fine merge re-sorts by
+        # z.  Uniform-u samples (eval) are already monotone.
+        if training and not uniform:
+            z_new = jnp.sort(z_new, axis=-1)
         alpha_n, sdf_n, rgb_n, qsdf_n = query_at(
             z_new, sample_per_ray_f, rngs[3])
         n_fine = sample_per_ray_c + sample_per_ray_f
