@@ -124,10 +124,24 @@ def test_pallas_culled_matches_brute(mesh_and_points):
                                                   interpret=True, mode="ray")
     d2c, ic, wc, qc = point_mesh_query_vis_culled(pts, tri, face_vis, ub,
                                                   interpret=True)
-    np.testing.assert_array_equal(np.asarray(d2c), np.asarray(d2b))
-    np.testing.assert_array_equal(np.asarray(ic), np.asarray(ib))
+    # the culled kernel's closed-form per-region distances are
+    # mathematically identical but round differently; winding (integer
+    # crossing sums over the same arithmetic) stays exact.
+    np.testing.assert_allclose(np.asarray(d2c), np.asarray(d2b),
+                               rtol=1e-4, atol=1e-9)
     np.testing.assert_array_equal(np.asarray(wc), np.asarray(wb))
-    np.testing.assert_array_equal(np.asarray(qc), np.asarray(qb))
+    # each chosen face must achieve the min distance (ties may differ)
+    from vanerf_tpu.ops.mesh_query import point_triangle_sq_dist
+    tri_np = np.asarray(tri)
+    d_at_ic = np.asarray(point_triangle_sq_dist(
+        pts, jnp.asarray(tri_np[np.asarray(ic), 0]),
+        jnp.asarray(tri_np[np.asarray(ic), 1]),
+        jnp.asarray(tri_np[np.asarray(ic), 2])))
+    np.testing.assert_allclose(d_at_ic, np.asarray(d2b), rtol=1e-3,
+                               atol=1e-8)
+    same = np.asarray(ic) == np.asarray(ib)
+    np.testing.assert_allclose(np.asarray(qc)[same], np.asarray(qb)[same],
+                               rtol=1e-3, atol=1e-4)
 
 
 def test_blocked_relayout_roundtrip():

@@ -141,12 +141,6 @@ def point_mesh_query(points: jnp.ndarray, triangles: jnp.ndarray,
     Returns:
       sq_dist (N,), face_idx (N,) int32, winding (N,).
     """
-    import os
-    if os.environ.get("VANERF_MESH_BACKEND") == "cluster":
-        # opt-in: Morton-clustered near-exact/far-dipole kernel — ~25%
-        # faster but approximate for points far from the surface.
-        from .mesh_query_cluster import point_mesh_query_cluster
-        return point_mesh_query_cluster(points, triangles)
     if _use_pallas():
         from .mesh_query_pallas import point_mesh_query_pallas
         return point_mesh_query_pallas(points, triangles,
@@ -329,12 +323,17 @@ def prepare_culled_mesh(verts: jnp.ndarray, faces: jnp.ndarray,
     out = {"verts": verts, "faces": faces, "vert_vis": vert_vis}
     if _use_pallas():
         from .mesh_query_pallas import prepare_mesh_ray
-        tri = verts[faces]
+        # center the mesh (and, below, the query points) so coordinates
+        # stay O(hand size): the kernel's |p|^2 - 2 p.a + |a|^2 corner
+        # forms would lose precision at |p| ~ meters.
+        center = 0.5 * (verts.min(0) + verts.max(0))
+        tri = verts[faces] - center
         face_vis = vert_vis[..., 0][faces]
         order = _morton_order(tri.mean(1))
         tri = jnp.take(tri, order, axis=0)
         face_vis = jnp.take(face_vis, order, axis=0)
         out["prep"] = prepare_mesh_ray(tri, face_vis)
+        out["center"] = center
     return out
 
 
@@ -355,6 +354,7 @@ def cal_vis_sdf_prepared(mesh: dict, points: jnp.ndarray,
         return cal_vis_sdf_fast(mesh["verts"], mesh["faces"], points,
                                 mesh["vert_vis"], chunk=chunk)
     from .mesh_query_pallas import point_mesh_query_vis_culled
+    points = points - mesh["center"]          # see prepare_culled_mesh
     N = points.shape[0]
     blocks = None
     if n_samples is not None and N % n_samples == 0:

@@ -640,12 +640,121 @@ def _ray_constants_folded(tri_f: jnp.ndarray, pad_f: int) -> jnp.ndarray:
     return jnp.pad(wtri, ((0, 0), (0, pad_f)))
 
 
+def _distance_chunk_vis_fast(px, py, pz, pp, ax, ay, az, bx, by, bz,
+                             cx, cy, cz, visa, visb, visc,
+                             d2_best, idx_best, base):
+    """Reformulated exact point-triangle distance + visibility chunk.
+
+    Same region classification as Ericson (`_distance_chunk_vis`), but the
+    per-region distances use closed forms that are mathematically identical
+    in-region — d1 - d3 = |ab|^2, (d4-d3)+(d5-d6) = |bc|^2, so the clamped
+    edge parameter equals the unconstrained minimizer and
+    d_edge = |ap|^2 - (ap.e)^2/|e|^2 exactly; the face distance is the
+    plane distance (n.ap)^2/|n|^2.  This removes the closest-point
+    reconstruction and 4 of 5 divides (~1.5x fewer VPU ops per pair);
+    results differ from the reference chunk only in fp rounding.
+
+    Expects `pp = |p|^2` per point; per-face scalars are derived at
+    (1, CHUNK) row cost.
+    """
+    abx, aby, abz = bx - ax, by - ay, bz - az
+    acx, acy, acz = cx - ax, cy - ay, cz - az
+    bcx, bcy, bcz = cx - bx, cy - by, cz - bz
+
+    # per-face scalar rows (cheap: (1, CHUNK))
+    c_ab_a = abx * ax + aby * ay + abz * az
+    c_ac_a = acx * ax + acy * ay + acz * az
+    c_ab_b = abx * bx + aby * by + abz * bz
+    c_ac_b = acx * bx + acy * by + acz * bz
+    c_ab_c = abx * cx + aby * cy + abz * cz
+    c_ac_c = acx * cx + acy * cy + acz * cz
+    aa = ax * ax + ay * ay + az * az
+    bb = bx * bx + by * by + bz * bz
+    cc = cx * cx + cy * cy + cz * cz
+    abab = abx * abx + aby * aby + abz * abz
+    acac = acx * acx + acy * acy + acz * acz
+    bcbc = bcx * bcx + bcy * bcy + bcz * bcz
+    inv_abab = jnp.where(abab > 0, 1.0 / jnp.maximum(abab, 1e-30), 0.0)
+    inv_acac = jnp.where(acac > 0, 1.0 / jnp.maximum(acac, 1e-30), 0.0)
+    inv_bcbc = jnp.where(bcbc > 0, 1.0 / jnp.maximum(bcbc, 1e-30), 0.0)
+    b_bc = bx * bcx + by * bcy + bz * bcz
+    nx = aby * acz - abz * acy
+    ny = abz * acx - abx * acz
+    nz = abx * acy - aby * acx
+    nn = nx * nx + ny * ny + nz * nz
+    inv_nn = jnp.where(nn > 0, 1.0 / jnp.maximum(nn, 1e-30), 0.0)
+    an = nx * ax + ny * ay + nz * az
+    face_pen = jnp.where(nn > 0, 0.0, jnp.float32(1e30))
+    dba = visb - visa
+    dca = visc - visa
+
+    # per-pair
+    pab = px * abx + py * aby + pz * abz
+    pac = px * acx + py * acy + pz * acz
+    pa = px * ax + py * ay + pz * az
+    pn = px * nx + py * ny + pz * nz
+
+    d1 = pab - c_ab_a
+    d2_ = pac - c_ac_a
+    d3 = pab - c_ab_b
+    d4 = pac - c_ac_b
+    d5 = pab - c_ab_c
+    d6 = pac - c_ac_c
+
+    va = d3 * d6 - d5 * d4
+    vb = d5 * d2_ - d1 * d6
+    vc = d1 * d4 - d3 * d2_
+
+    da2 = pp - 2.0 * pa + aa
+    db2 = pp - 2.0 * (pa + pab) + bb
+    dc2 = pp - 2.0 * (pa + pac) + cc
+    d_ab = da2 - d1 * d1 * inv_abab
+    d_ac = da2 - d2_ * d2_ * inv_acac
+    bpbc = (pac - pab) - b_bc
+    d_bc = db2 - bpbc * bpbc * inv_bcbc
+    fn = pn - an
+    d_f = fn * fn * inv_nn + face_pen
+
+    in_a = (d1 <= 0) & (d2_ <= 0)
+    in_b = (d3 >= 0) & (d4 <= d3)
+    in_c = (d6 >= 0) & (d5 <= d6)
+    in_ab = (vc <= 0) & (d1 >= 0) & (d3 <= 0)
+    in_ac = (vb <= 0) & (d2_ >= 0) & (d6 <= 0)
+    in_bc = (va <= 0) & ((d4 - d3) >= 0) & ((d5 - d6) >= 0)
+
+    d2c = d_f
+    d2c = jnp.where(in_bc, d_bc, d2c)
+    d2c = jnp.where(in_ac, d_ac, d2c)
+    d2c = jnp.where(in_ab, d_ab, d2c)
+    d2c = jnp.where(in_c, dc2, d2c)
+    d2c = jnp.where(in_a, da2, d2c)
+    d2c = jnp.where(in_b, db2, d2c)
+    d2c = jnp.maximum(d2c, 0.0)
+
+    denom = va + vb + vc
+    rden = 1.0 / jnp.where(denom == 0, 1.0, denom)
+    v_f = vb * rden
+    w_f = vc * rden
+    qv = visa + v_f * dba + w_f * dca
+
+    cmin = jnp.min(d2c, axis=1, keepdims=True)
+    carg_local = jnp.argmin(d2c, axis=1).astype(jnp.int32)[:, None]
+    lane = jax.lax.broadcasted_iota(jnp.int32, d2c.shape, 1)
+    qv_sel = jnp.sum(jnp.where(lane == carg_local, qv, 0.0), axis=1,
+                     keepdims=True)
+    better = cmin < d2_best
+    return (jnp.where(better, cmin, d2_best),
+            jnp.where(better, carg_local + base, idx_best),
+            qv_sel)
+
+
 def _kernel_vis_ray_culled(mask_ref, pts_ref, tri_ref, vis_ref, wtri_ref,
                            d2_ref, idx_ref, wind_ref, qvis_ref, *, n_chunks):
     p = pts_ref[:]
     px = p[:, 0:1]
     py = p[:, 1:2]
     pz = p[:, 2:3]
+    pp = px * px + py * py + pz * pz
 
     d2_ref[:] = jnp.full((TILE_P, 1), jnp.inf, jnp.float32)
     idx_ref[:] = jnp.zeros((TILE_P, 1), jnp.int32)
@@ -671,8 +780,8 @@ def _kernel_vis_ray_culled(mask_ref, pts_ref, tri_ref, vis_ref, wtri_ref,
             visb = vis_ref[1:2, sl]
             visc = vis_ref[2:3, sl]
             d2_old = d2_ref[:]
-            d2_new, idx_new, qv_sel = _distance_chunk_vis(
-                px, py, pz, ax, ay, az, bx, by, bz, cx, cy, cz,
+            d2_new, idx_new, qv_sel = _distance_chunk_vis_fast(
+                px, py, pz, pp, ax, ay, az, bx, by, bz, cx, cy, cz,
                 visa, visb, visc, d2_old, idx_ref[:], c * CULL_CHUNK)
             better = d2_new < d2_old
             qvis_ref[:] = jnp.where(better, qv_sel, qvis_ref[:])

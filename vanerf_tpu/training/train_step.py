@@ -172,15 +172,23 @@ def make_train_step(model, disc, tx_g, tx_d, cfg: dict, vggloss,
                 "fake_vis_pix_loss": fake_vis_l}
         return d_loss, logs
 
-    def train_step(state: TrainState, batch, rng):
+    def train_step(state: TrainState, batch, rng, axis_name=None):
+        """One GAN step.  `axis_name`: when run per-shard under
+        `shard_map` (data parallelism), gradients and logs are psum/pmean'd
+        over that mesh axis before the (replicated) optimizer update —
+        the explicit analog of DDP's allreduce (SURVEY §2.2)."""
         (g_loss, (out, err)), grads_g = jax.value_and_grad(
             g_loss_fn, has_aux=True)(state.params_g, state.params_d,
                                      batch, rng)
+        if axis_name is not None:
+            grads_g = jax.lax.pmean(grads_g, axis_name)
         updates_g, opt_g = tx_g.update(grads_g, state.opt_g, state.params_g)
         params_g = optax.apply_updates(state.params_g, updates_g)
 
         (d_loss, d_logs), grads_d = jax.value_and_grad(
             d_loss_fn, has_aux=True)(state.params_d, out, rng)
+        if axis_name is not None:
+            grads_d = jax.lax.pmean(grads_d, axis_name)
         updates_d, opt_d = tx_d.update(grads_d, state.opt_d, state.params_d)
         params_d = optax.apply_updates(state.params_d, updates_d)
 
@@ -188,6 +196,8 @@ def make_train_step(model, disc, tx_g, tx_d, cfg: dict, vggloss,
         logs.update({f"train/{k}": v for k, v in d_logs.items()})
         logs["train/g_loss"] = g_loss
         logs["train/d_loss"] = d_loss
+        if axis_name is not None:
+            logs = jax.lax.pmean(logs, axis_name)
         new_state = TrainState(params_g, params_d, opt_g, opt_d,
                                state.step + 1)
         return new_state, logs
