@@ -302,12 +302,12 @@ class InterHandDataset:
             ray_d.reshape(-1, 3).astype(np.float32))
 
         def k44(K):
-            o = np.eye(4, np.float32)
+            o = np.eye(4, dtype=np.float32)
             o[:3, :3] = K
             return o
 
         def rt44(Rt):
-            o = np.eye(4, np.float32)
+            o = np.eye(4, dtype=np.float32)
             o[:3, :4] = Rt
             return o
 
