@@ -126,3 +126,55 @@ def test_vgg_loss_runs_and_decreases_with_similarity(rng):
     a = jnp.asarray(rng.random((1, 16, 16, 3)).astype(np.float32))
     b = jnp.asarray(rng.random((1, 16, 16, 3)).astype(np.float32))
     assert float(vgg(a, a)) < float(vgg(a, b))
+
+
+def test_preprocessor_helpers_roundtrip():
+    """Smoke the offline preprocessor's geometry helpers (the CLI itself
+    needs raw InterHand2.6M): bbox expansion, affine crop, K adjustment
+    keep the projected mesh inside the crop."""
+    import numpy as np
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from data_process.dataset_process import (process_bbox, crop_affine,
+                                              adjust_K, IMG_SIZE)
+
+    H = W = 128
+    bbox = process_bbox([30, 40, 50, 30], W, H)
+    assert bbox[2] > 0 and bbox[3] > 0
+    # aspect forced to square-ish of the output
+    assert abs(bbox[2] / bbox[3] - 1.0) < 1e-6
+
+    img = np.zeros((H, W, 3), np.uint8)
+    img[40:70, 30:80] = 255
+    crop = crop_affine(img, bbox, out_size=IMG_SIZE)
+    assert crop.shape[:2] == (IMG_SIZE, IMG_SIZE)
+    assert crop.max() == 255
+
+    K = np.asarray([[100.0, 0, W / 2], [0, 100.0, H / 2], [0, 0, 1]])
+    K2 = adjust_K(K, bbox, out_size=IMG_SIZE)
+    # a point at the bbox center must project to the crop center
+    cx, cy = bbox[0] + bbox[2] / 2, bbox[1] + bbox[3] / 2
+    p_cam = np.linalg.inv(K) @ np.asarray([cx, cy, 1.0])
+    p2 = K2 @ p_cam
+    p2 = p2[:2] / p2[2]
+    np.testing.assert_allclose(p2, [IMG_SIZE / 2, IMG_SIZE / 2], atol=1.0)
+
+
+def test_preprocessor_render_mask_densepose():
+    import numpy as np
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from data_process.dataset_process import render_mask_densepose
+    from oracles import make_icosphere
+
+    v, f = make_icosphere(subdiv=1, radius=0.05, center=(0.0, 0.0, 0.5))
+    K = np.asarray([[120.0, 0, 32.0], [0, 120.0, 32.0], [0, 0, 1]],
+                   np.float32)
+    R = np.eye(3, dtype=np.float32)
+    t = np.zeros(3, np.float32)
+    mask, dp = render_mask_densepose(v.astype(np.float32),
+                                     f.astype(np.int32), K, R, t, 64, 64)
+    assert mask.shape == (64, 64)
+    assert mask.max() > 0          # sphere visible
+    assert dp.shape == (64, 64, 3)
+    assert (dp[mask > 0] > 0).any()
