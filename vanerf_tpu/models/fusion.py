@@ -53,9 +53,17 @@ class GeoVisFusion(nn.Module):
     """
     num_v: int = 779
 
+    def vertex_table(self, fg, vert_xy):
+        """Per-vertex feature table: both feature scales sampled at the
+        projected vertices (B, V2, 64+8).  Exposed so the caller can fold
+        this into ONE shared KNN gather with the texture branch."""
+        return jnp.concatenate(
+            [feat_sample_nhwc(fg[0], vert_xy),
+             feat_sample_nhwc(fg[1], vert_xy)], -1)
+
     @nn.compact
     def __call__(self, vert_xy, fg, feat_sampled, vert, v, vert_vis,
-                 query_vis, query_sdf, nn_idx=None):
+                 query_vis, query_sdf, nn_idx=None, knn=None):
         """
         Args:
           vert_xy: (B, V2, 2) vertex NDC coords in the source view.
@@ -63,17 +71,20 @@ class GeoVisFusion(nn.Module):
           feat_sampled: [(B, N, 64), (B, N, 8)] pixel-aligned query features.
           vert: (B, V2, 3) world vertices; v: (B, N, 3) query points.
           vert_vis: (B, V2, 1); query_vis: (B, N, 1); query_sdf: (B, N, 1).
+          knn: optional precomputed (f_knn, f_knn_toh, vis, vis_toh) from a
+            shared gather of this module's :meth:`vertex_table`.
         Returns:
           [(B, N, 64), (B, N, 8)] fused features.
         """
-        # sample both scales at the vertices and run ONE fused KNN gather
-        # (the 262k-row gathers dominate; 2 gathers instead of 8).
         c0 = fg[0].shape[-1]
-        vert_feat = jnp.concatenate(
-            [feat_sample_nhwc(fg[0], vert_xy),
-             feat_sample_nhwc(fg[1], vert_xy)], -1)
-        f_knn_all, f_knn_toh_all, vis_th, vis_toh = knn_gather_1(
-            v, vert, vert_feat, vert_vis, self.num_v, nn_idx=nn_idx)
+        if knn is None:
+            # sample both scales at the vertices and run ONE fused KNN
+            # gather (the 262k-row gathers dominate; 2 gathers, not 8).
+            vert_feat = self.vertex_table(fg, vert_xy)
+            f_knn_all, f_knn_toh_all, vis_th, vis_toh = knn_gather_1(
+                v, vert, vert_feat, vert_vis, self.num_v, nn_idx=nn_idx)
+        else:
+            f_knn_all, f_knn_toh_all, vis_th, vis_toh = knn
         per_scale = [(f_knn_all[..., :c0], f_knn_toh_all[..., :c0]),
                      (f_knn_all[..., c0:], f_knn_toh_all[..., c0:])]
 
@@ -159,34 +170,54 @@ class TexVisFusion(nn.Module):
     q_feat_in: int = 96
     q_feat_out: int = 40
 
-    @nn.compact
+    def setup(self):
+        # attribute names keep the param-tree names of the old compact
+        # layout (fconv3/fconv4/gt0/gt1/at/fuse)
+        self.fconv3 = GlobalCtxConv()
+        self.fconv4 = GlobalCtxConv()
+        self.gt0 = Conv1dLN(self.num_v, 18)
+        self.gt1 = Conv1dLN(self.num_v * 2, 18)
+        self.at = GateMLP(self.q_feat_in, 6)
+        self.fuse = FuseMLP(self.q_feat_in, self.q_feat_out)
+
+    def vertex_table(self, ft1, img_fmap, vert_xy):
+        """Per-vertex table: source RGB + tex feats at projected vertices
+        plus the broadcast global-context features (B, V2, 11+18).
+        Exposed for the shared KNN gather with the geometry branch (the
+        GlobalCtxConv / Conv1dLN parameters live here)."""
+        vert_feat = feat_sample_nhwc(ft1, vert_xy)              # (B, V2, 8)
+        vert_img = feat_sample_nhwc(img_fmap, vert_xy)          # (B, V2, 3)
+        vert_feat = jnp.concatenate([vert_img, vert_feat], -1)  # 11
+
+        gf_tex = self.fconv3(ft1)                               # (B, 42, 9)
+        gf_img = self.fconv4(img_fmap)                          # (B, 42, 9)
+        gf = jnp.concatenate([gf_img, gf_tex], -1)              # (B, 42, 18)
+        gf = self.gt0(gf)                                       # (B, V, 18)
+        gf = self.gt1(gf)                                       # (B, 2V, 18)
+        # the global-ctx branch runs in f32 (per-frame, tiny); cast so the
+        # hot per-point KNN gather stays in the compute dtype
+        gf = gf.astype(vert_feat.dtype)
+        return jnp.concatenate([vert_feat, gf], -1)             # (B, V2, 29)
+
     def __call__(self, vert_xy, ft1, ft_xy, vert, v, vert_vis, query_vis,
-                 img_xy, img_fmap, latent_fused, nn_idx=None):
+                 img_xy, img_fmap, latent_fused, nn_idx=None, knn=None):
         """
         Args:
           vert_xy: (B, V2, 2) vertex NDC coords; ft1: (B, h, w, 8) tex map;
           ft_xy: (B, N, 8) tex feats at queries; vert/v as in GeoVisFusion;
           img_xy: (B, N, 3) source RGB at queries;
           img_fmap: (B, H, W, 3) source image; latent_fused: (B, N, 24).
+          knn: optional precomputed (f_knn, f_knn_toh, vis, vis_toh) from a
+            shared gather of this module's :meth:`vertex_table`.
         Returns:
           (B, N, 40) per-view IBR feature.
         """
-        vert_feat = feat_sample_nhwc(ft1, vert_xy)              # (B, V2, 8)
-        vert_img = feat_sample_nhwc(img_fmap, vert_xy)          # (B, V2, 3)
-        vert_feat = jnp.concatenate([vert_img, vert_feat], -1)  # 11
-
-        gf_tex = GlobalCtxConv(name="fconv3")(ft1)              # (B, 42, 9)
-        gf_img = GlobalCtxConv(name="fconv4")(img_fmap)         # (B, 42, 9)
-        gf = jnp.concatenate([gf_img, gf_tex], -1)              # (B, 42, 18)
-        gf = Conv1dLN(self.num_v, 18, name="gt0")(gf)           # (B, V, 18)
-        gf = Conv1dLN(self.num_v * 2, 18, name="gt1")(gf)       # (B, 2V, 18)
-        # the global-ctx branch runs in f32 (per-frame, tiny); cast so the
-        # hot per-point KNN gather below stays in the compute dtype
-        gf = gf.astype(vert_feat.dtype)
-        vert_feat = jnp.concatenate([vert_feat, gf], -1)        # (B, V2, 29)
-
-        f_knn, f_knn_toh, vis_th, vis_toh = knn_gather_1(
-            v, vert, vert_feat, vert_vis, self.num_v, nn_idx=nn_idx)
+        if knn is None:
+            vert_feat = self.vertex_table(ft1, img_fmap, vert_xy)
+            f_knn, f_knn_toh, vis_th, vis_toh = knn_gather_1(
+                v, vert, vert_feat, vert_vis, self.num_v, nn_idx=nn_idx)
+        else:
+            f_knn, f_knn_toh, vis_th, vis_toh = knn
         knn_gf, knn_toh_gf = f_knn[..., 11:], f_knn_toh[..., 11:]
         knn_f, knn_toh_f = f_knn[..., :11], f_knn_toh[..., :11]
 
@@ -195,11 +226,10 @@ class TexVisFusion(nn.Module):
         y = jnp.concatenate(
             [query_feat, knn_f, knn_toh_f, knn_gf, knn_toh_gf,
              latent_fused, vis_ctx], -1)                        # 96
-        gate = GateMLP(self.q_feat_in, 6, name="at")(y)
+        gate = self.at(y)
         y_ated = jnp.concatenate(
             [query_feat * gate[..., 0:1], knn_f * gate[..., 1:2],
              knn_toh_f * gate[..., 2:3], knn_gf * gate[..., 3:4],
              knn_toh_gf * gate[..., 4:5], latent_fused * gate[..., 5:6],
              vis_ctx], -1)                                      # 96
-        return FuseMLP(self.q_feat_in, self.q_feat_out,
-                       name="fuse")(y_ated)
+        return self.fuse(y_ated)

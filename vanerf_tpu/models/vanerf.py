@@ -302,6 +302,7 @@ class VANeRF(nn.Module):
         elif nn_idx.shape[0] != B * n_views:
             nn_idx = jnp.repeat(nn_idx, n_views, axis=0)
 
+        tex_knn = None
         if self.sp_conv:
             # SP path feeds the activated prior density instead of raw sdf
             # (model.py:864).
@@ -314,9 +315,24 @@ class VANeRF(nn.Module):
                 vert_xy, feat_geo, feat_sampled, vert_rep, v, vert_vis_rep,
                 q_vis_rep, q_sdf_act, bounds_rep)
         else:
+            # ONE shared KNN gather for both fusion branches: their
+            # per-vertex tables ride the same nearest-vertex index, so
+            # concat the tables and split the gathered rows (saves a
+            # 262k-row gather per pass).
+            from ..ops.knn import knn_gather_1
+            gv = self.geo_vis_fusion.vertex_table(feat_geo, vert_xy)
+            tv = self.tex_vis_fusion.vertex_table(feat_tex, src_img,
+                                                  vert_xy)
+            shared = jnp.concatenate([gv, tv], -1)
+            f_s, f_toh_s, vis_th, vis_toh = knn_gather_1(
+                v, vert_rep, shared, vert_vis_rep, self.num_v,
+                nn_idx=nn_idx)
+            cg = gv.shape[-1]
+            geo_knn = (f_s[..., :cg], f_toh_s[..., :cg], vis_th, vis_toh)
+            tex_knn = (f_s[..., cg:], f_toh_s[..., cg:], vis_th, vis_toh)
             fused = self.geo_vis_fusion(
                 vert_xy, feat_geo, feat_sampled, vert_rep, v, vert_vis_rep,
-                q_vis_rep, q_sdf_rep, nn_idx=nn_idx)         # [(BV,N,64/8)]
+                q_vis_rep, q_sdf_rep, knn=geo_knn)           # [(BV,N,64/8)]
         fused = [f.reshape(B, n_views, N, -1) for f in fused]
 
         out, valid, _latent_view, latent_fused = self.mlp_geo(
@@ -332,7 +348,7 @@ class VANeRF(nn.Module):
             n_views, feat_tex, latent_fused, krt, src_img,
             out_mask.reshape(B * n_views, N, 1), n_samples,
             bounds=bounds_rep, nn_idx=nn_idx, img_xy=img_xy,
-            feat_xy=feat_tex_xy)
+            feat_xy=feat_tex_xy, tex_knn=tex_knn)
         out = jnp.concatenate([out, rgb], -1)                # (B, N, 5)
         out = out.astype(jnp.float32)   # compositing/losses stay f32
         return out, valid.astype(out.dtype)                  # valid (B, N, 1)
@@ -344,7 +360,7 @@ class VANeRF(nn.Module):
     def _query_color(self, vert_xy, vert, vert_vis, query_vis, v, xy, view,
                      n_views, feat_tex, latent_fused, krt, img, out_mask,
                      n_samples, bounds=None, nn_idx=None, img_xy=None,
-                     feat_xy=None):
+                     feat_xy=None, tex_knn=None):
         BV, N, _ = v.shape
         B = BV // n_views
         if img_xy is None:
@@ -366,7 +382,8 @@ class VANeRF(nn.Module):
         else:
             rgb_feat = self.tex_vis_fusion(
                 vert_xy, feat_tex, feat_xy, vert, v, vert_vis, query_vis,
-                img_xy, img, lat_rep, nn_idx=nn_idx)         # (BV, N, 40)
+                img_xy, img, lat_rep, nn_idx=nn_idx,
+                knn=tex_knn)                                 # (BV, N, 40)
 
         inv_calib = jnp.linalg.inv(krt)                      # (BV, 4, 4)
         cam_pos = inv_calib[:, :3, 3]                        # (BV, 3)
