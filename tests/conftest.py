@@ -18,6 +18,17 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+# The environment may PRE-IMPORT jax (sitecustomize) before this conftest
+# runs, in which case jax snapshotted JAX_PLATFORMS at interpreter start
+# and the env vars above are ignored — force the config directly (legal
+# any time before backend initialization).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", (
+    "tests must run on the hermetic CPU platform, got "
+    f"{jax.default_backend()}")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -22,10 +22,10 @@ from typing import Callable
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-try:  # moved to jax.sharding in newer jax
-    from jax.experimental.shard_map import shard_map
-except ImportError:  # pragma: no cover
+try:  # jax >= 0.8
     from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
 
 
 _REPLICATED_KEYS = ("faces", "znear", "zfar")
@@ -61,10 +61,15 @@ def make_parallel_train_step(train_step: Callable, mesh: Mesh,
         rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
         return train_step(state, batch, rng, axis_name=axis)
 
-    mapped = shard_map(
-        per_shard, mesh=mesh,
-        in_specs=(P(), b_specs, P()),
-        out_specs=(P(), P()),
-        check_rep=False,
-    )
+    import inspect
+    kwargs = dict(mesh=mesh, in_specs=(P(), b_specs, P()),
+                  out_specs=(P(), P()))
+    sig = inspect.signature(shard_map).parameters
+    # replication checking can't see through the explicit pmeans; its
+    # keyword was renamed check_rep -> check_vma in jax 0.8
+    if "check_vma" in sig:
+        kwargs["check_vma"] = False
+    elif "check_rep" in sig:
+        kwargs["check_rep"] = False
+    mapped = shard_map(per_shard, **kwargs)
     return jax.jit(mapped, donate_argnums=(0,))
