@@ -105,9 +105,13 @@ def run_test(model, state, dataset, cfg: dict, save_dir: str,
         H = int(batch["src_img"].shape[1])
         level = max(1, int(math.log2(H)) - 5)   # 256 -> 3 (model.py:581)
         n_tiles = 4 ** (level - 1)
+        # tile_group > 1 folds several stride offsets into one call — the
+        # multi-chip serving unit.  Single-chip it no longer pays (the
+        # per-call dispatch overhead it amortized is gone), so default 1.
+        tg = cfg["training"].get("eval_tile_group", 1)
         out = render_full_image(
             model, params, batch, level=level, n_views=n_views,
-            tile_group=min(4, n_tiles))
+            tile_group=min(tg, n_tiles))
         pred = np.clip(np.asarray(out["tex_fg_fine"])[0], 0.0, 1.0)
         gt = np.asarray(batch["tar_img"])[0]
         # SSIM crop region: ray-AABB mask when the dataset provides it

@@ -16,30 +16,63 @@ from ..ops.grid_sample import feat_sample_nhwc
 from ..ops.knn import knn_gather_1
 
 
+class VDense(nn.Module):
+    """nn.Dense that accepts a LIST of inputs as a virtual concat:
+    `concat(parts) @ W == sum_i parts_i @ W_i`.  Skips materializing the
+    wide per-point concats (~0.4 ms each at 262k rows) while keeping the
+    exact param tree of nn.Dense (kernel/bias names and shapes)."""
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, parts):
+        if not isinstance(parts, (list, tuple)):
+            parts = (parts,)
+        in_f = sum(p.shape[-1] for p in parts)
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (in_f, self.features))
+        dt = parts[0].dtype
+        k = kernel.astype(dt)
+        out = None
+        o = 0
+        for p in parts:
+            c = p @ k[o:o + p.shape[-1]]
+            o += p.shape[-1]
+            out = c if out is None else out + c
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            out = out + b.astype(dt)
+        return out
+
+
 class GateMLP(nn.Module):
     """Dense -> ReLU -> Dense -> sigmoid gate (no bias), matching the
-    reference's 1x1-conv attention stacks (networks.py:47-52)."""
+    reference's 1x1-conv attention stacks (networks.py:47-52).  The first
+    layer takes a list of parts (virtual concat)."""
     hidden: int
     out: int
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.hidden, use_bias=False, dtype=x.dtype)(x)
+        x = VDense(self.hidden, use_bias=False, name="Dense_0")(x)
         x = nn.relu(x)
-        x = nn.Dense(self.out, use_bias=False, dtype=x.dtype)(x)
+        x = nn.Dense(self.out, use_bias=False, dtype=x.dtype,
+                     name="Dense_1")(x)
         return nn.sigmoid(x)
 
 
 class FuseMLP(nn.Module):
-    """Dense -> ReLU -> Dense (no bias) (networks.py:54-58)."""
+    """Dense -> ReLU -> Dense (no bias) (networks.py:54-58).  The first
+    layer takes a list of parts (virtual concat)."""
     hidden: int
     out: int
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.hidden, use_bias=False, dtype=x.dtype)(x)
+        x = VDense(self.hidden, use_bias=False, name="Dense_0")(x)
         x = nn.relu(x)
-        return nn.Dense(self.out, use_bias=False, dtype=x.dtype)(x)
+        return nn.Dense(self.out, use_bias=False, dtype=x.dtype,
+                        name="Dense_1")(x)
 
 
 class GeoVisFusion(nn.Module):
@@ -93,13 +126,12 @@ class GeoVisFusion(nn.Module):
             f_knn, f_knn_toh = per_scale[si]
             ctx = jnp.concatenate(
                 [query_sdf, query_vis, vis_th, vis_toh], -1)
-            fused = jnp.concatenate(
-                [feat_sampled[si], f_knn, f_knn_toh, ctx], -1)
-            gate = GateMLP(hidden_at, 3, name=f"at{si}")(fused)
-            regated = jnp.concatenate(
-                [feat_sampled[si] * gate[..., 0:1],
-                 f_knn * gate[..., 1:2],
-                 f_knn_toh * gate[..., 2:3], ctx], -1)
+            # parts lists = virtual concats into the first Dense
+            gate = GateMLP(hidden_at, 3, name=f"at{si}")(
+                [feat_sampled[si], f_knn, f_knn_toh, ctx])
+            regated = [feat_sampled[si] * gate[..., 0:1],
+                       f_knn * gate[..., 1:2],
+                       f_knn_toh * gate[..., 2:3], ctx]
             outs.append(FuseMLP(out_ch, out_ch, name=f"ated{si}")(regated))
         return outs
 
@@ -223,13 +255,11 @@ class TexVisFusion(nn.Module):
 
         query_feat = jnp.concatenate([img_xy, ft_xy], -1)       # (B, N, 11)
         vis_ctx = jnp.concatenate([query_vis, vis_th, vis_toh], -1)
-        y = jnp.concatenate(
-            [query_feat, knn_f, knn_toh_f, knn_gf, knn_toh_gf,
-             latent_fused, vis_ctx], -1)                        # 96
-        gate = self.at(y)
-        y_ated = jnp.concatenate(
-            [query_feat * gate[..., 0:1], knn_f * gate[..., 1:2],
-             knn_toh_f * gate[..., 2:3], knn_gf * gate[..., 3:4],
-             knn_toh_gf * gate[..., 4:5], latent_fused * gate[..., 5:6],
-             vis_ctx], -1)                                      # 96
+        # parts lists = virtual concats into the first Dense (96 ch)
+        gate = self.at([query_feat, knn_f, knn_toh_f, knn_gf, knn_toh_gf,
+                        latent_fused, vis_ctx])
+        y_ated = [query_feat * gate[..., 0:1], knn_f * gate[..., 1:2],
+                  knn_toh_f * gate[..., 2:3], knn_gf * gate[..., 3:4],
+                  knn_toh_gf * gate[..., 4:5], latent_fused * gate[..., 5:6],
+                  vis_ctx]
         return self.fuse(y_ated)

@@ -37,13 +37,20 @@ def get_nl(name: Optional[str]):
 
 class WNLinear(nn.Module):
     """Dense layer with weight normalization (torch ``weight_norm`` default
-    dim: one gain per output unit)."""
+    dim: one gain per output unit).
+
+    Accepts a LIST of inputs as a "virtual concat": `[p0, p1, ...] @ W ==
+    concat(parts) @ W == sum_i parts_i @ W_i` — the concat of wide
+    per-point features (e.g. the 294-ch positional encoding) costs ~1 ms
+    per pass in HBM traffic on TPU, while the split matmuls read the parts
+    where they already are.  Param shapes are identical either way."""
     features: int
     use_wn: bool = True
 
     @nn.compact
     def __call__(self, x):
-        in_f = x.shape[-1]
+        parts = x if isinstance(x, (list, tuple)) else (x,)
+        in_f = sum(p.shape[-1] for p in parts)
         v = self.param("v", nn.initializers.lecun_normal(),
                        (in_f, self.features))
         b = self.param("bias", nn.initializers.zeros, (self.features,))
@@ -55,7 +62,13 @@ class WNLinear(nn.Module):
             w = v
         # follow the input compute dtype (params stay f32; the weight-norm
         # above is computed in f32, only the matmul runs in e.g. bf16)
-        return x @ w.astype(x.dtype) + b.astype(x.dtype)
+        w = w.astype(parts[0].dtype)
+        out = b.astype(parts[0].dtype)
+        o = 0
+        for p in parts:
+            out = out + p @ w[o:o + p.shape[-1]]
+            o += p.shape[-1]
+        return out
 
 
 class MLP(nn.Module):
@@ -93,13 +106,19 @@ class MLPUNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, feats: Sequence[jnp.ndarray]):
+        """`x` may be a list of parts (virtual concat, see WNLinear)."""
         nl = get_nl(self.nl_layer)
         skip_dict = {j: i for i, j in enumerate(self.skip_layers)}
         n = len(self.n_dims) - 1
         for i in range(n):
             if i in skip_dict:
                 f = feats[skip_dict[i]]
-                x = f if x is None else jnp.concatenate([x, f], -1)
+                if x is None:
+                    x = f
+                elif isinstance(x, (list, tuple)):
+                    x = list(x) + [f]
+                else:
+                    x = jnp.concatenate([x, f], -1)
             x = WNLinear(self.n_dims[i + 1],
                          use_wn=(self.norm == "weight" and i != n - 1),
                          name=f"l{i}")(x)

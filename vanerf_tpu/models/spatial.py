@@ -17,7 +17,8 @@ import numpy as np
 
 def position_embedding(x: jnp.ndarray, nlevels: int,
                        scale: float = 1.0,
-                       weight: jnp.ndarray | None = None) -> jnp.ndarray:
+                       weight: jnp.ndarray | None = None,
+                       return_parts: bool = False):
     """[x, sin(pi x), cos(pi x), sin(2 pi x), ...] (spatial.py:19-43).
 
     Octave frequencies are generated with double-angle recurrences
@@ -27,7 +28,8 @@ def position_embedding(x: jnp.ndarray, nlevels: int,
     [x, sin_0, cos_0, sin_1, cos_1, ...] per level.
     """
     if nlevels <= 0:
-        return x if weight is None else x * weight
+        out = x if weight is None else x * weight
+        return [out] if return_parts else out
     a = (scale * np.pi) * x
     s = jnp.sin(a)
     c = jnp.cos(a)
@@ -41,6 +43,10 @@ def position_embedding(x: jnp.ndarray, nlevels: int,
         # (N, 1+2L, C) reshape round-trip, which XLA was materializing with
         # a hostile layout (~4.5 ms/step).
         parts = [p * weight for p in parts]
+    if return_parts:
+        # callers can feed the parts straight into WNLinear's virtual
+        # concat, skipping the wide-feature materialization entirely
+        return parts
     return jnp.concatenate(parts, -1)
 
 
@@ -66,7 +72,7 @@ class SpatialEncoder:
         return 0
 
     def __call__(self, *, v, pts, z, xy, extrin, kpt3d=None, n_view=1,
-                 model_T=None):
+                 model_T=None, return_parts=False):
         """Encode query points (spatial.py:59-134).
 
         Args:
@@ -110,7 +116,8 @@ class SpatialEncoder:
                         / (2.0 * self.sigma ** 2))
             w = w.reshape(*w.shape[:2], -1)                  # (BV, N, K)
             return position_embedding(
-                dz.reshape(*dz.shape[:2], -1), self.sp_level, weight=w)
+                dz.reshape(*dz.shape[:2], -1), self.sp_level, weight=w,
+                return_parts=return_parts)
         if t == "rel_cxyz":
             dxyz = self.scale * (cxyz[:, :, None] - kptxyz[:, None])
             return position_embedding(

@@ -270,10 +270,15 @@ class VANeRF(nn.Module):
                 feat_sample_nhwc(f, xy) for f in feat_geo]   # (BV, N, C)
             feat_tex_xy = feat_sample_nhwc(feat_tex, xy)
 
+        # parts feed WNLinear's virtual concat (the 294-wide PE concat
+        # costs ~1 ms/pass of pure HBM traffic otherwise)
         y = self.sp_encoder(
             v=v, pts=pts, z=z, xy=xy, extrin=cam["extrin"],
-            kpt3d=kpt3d, n_view=n_views)                     # (BV, N, 294)
-        y = y.reshape(B, n_views, N, -1).astype(cdt)
+            kpt3d=kpt3d, n_view=n_views,
+            return_parts=True)                               # 7x(BV, N, 42)
+        if not isinstance(y, (list, tuple)):
+            y = [y]
+        y = [p.reshape(B, n_views, N, -1).astype(cdt) for p in y]
 
         # project mesh vertices into the source views (model.py:845-853)
         vert_rep = (jnp.repeat(verts, n_views, axis=0)
