@@ -115,9 +115,24 @@ def test_interhand_getitem_end_to_end(fake_root):
     # masked pixels are zeroed; target mask eroded consistently
     tm = item["tar_mask"][..., 0]
     assert (item["tar_img"][tm == 0] == 0).all()
-    # krt = K @ Rt
-    anno_cam = _camera(CAMS.index(str(item["cam_ind"])) if False else 0)
-    del anno_cam
+    # target K/Rt match the fixture camera annotation; krt = K @ Rt
+    cam_i = CAMS.index(str(item["cam_ind"]))
+    anno_cam = _camera(cam_i)
+    np.testing.assert_allclose(item["tar_k"][:3, :3],
+                               anno_cam["in_K"][:3, :3], rtol=1e-6)
+    np.testing.assert_allclose(item["tar_rt"][:3, :3], anno_cam["R"],
+                               rtol=1e-6)
+    np.testing.assert_allclose(item["tar_rt"][:3, 3], anno_cam["t"],
+                               rtol=1e-6)
+    # source view: identify its fixture camera by extrinsics, then check
+    # krt = K @ Rt exactly as assembled by _getitem (interhand.py:320)
+    src_rt = item["src_extrin"][0]
+    src_cams = [i for i in range(len(CAMS))
+                if np.allclose(src_rt[:3, :3], _camera(i)["R"], atol=1e-6)]
+    assert len(src_cams) == 1 and src_cams[0] != cam_i
+    np.testing.assert_allclose(item["src_krt"][0],
+                               _camera(src_cams[0])["in_K"] @ src_rt,
+                               rtol=1e-5)
     # determinism: train items are seeded by index
     item2 = ds[0]
     np.testing.assert_array_equal(item["src_krt"], item2["src_krt"])

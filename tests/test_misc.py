@@ -27,6 +27,20 @@ def test_config_roundtrip(tmp_path):
     assert "git_head" in re
 
 
+def test_in_the_wild_routes_to_run_val():
+    """--in_the_wild routes to the eval path (documented deviation: ref
+    train.py:73 is broken upstream — undefined `model_in_the_wild`)."""
+    parser = vconfig.create_parser()
+    args = parser.parse_args(["--config", "x.json", "--in_the_wild"])
+    assert not args.run_val
+    vconfig.resolve_flags(args)
+    assert args.run_val
+    # plain parse stays untouched
+    args2 = parser.parse_args(["--config", "x.json"])
+    vconfig.resolve_flags(args2)
+    assert not args2.run_val
+
+
 def test_psnr_ssim_sane(rng):
     a = rng.random((32, 32, 3)).astype(np.float32)
     noise = (a + 0.1 * rng.standard_normal((32, 32, 3))).astype(np.float32)

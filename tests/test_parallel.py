@@ -4,7 +4,11 @@ Mirrors the driver's dryrun_multichip: full GAN train step under
 shard_map (batch sharded, params replicated, explicit gradient pmean).
 """
 
+import json
+import sys
+
 import numpy as np
+import pytest
 
 
 def test_shard_map_train_step_runs_and_averages():
@@ -56,3 +60,38 @@ def test_shard_map_train_step_runs_and_averages():
     leaf_new = np.asarray(jax.tree.leaves(new_state.params_g)[0])
     assert not np.allclose(leaf_old, leaf_new)
     assert int(new_state.step) == step_old + 1
+
+
+@pytest.mark.slow
+def test_cli_multi_device_train(tmp_path):
+    """Drive train.py's ACTUAL main path on a 2-device mesh.
+
+    DDP semantics (ref train.py:58-65): global batch = num_gpus x
+    train_batch_size, sharded P("data"). Round-1 bug: fit drew batches of
+    train_batch_size=1 which is not divisible over N>1 devices.
+    """
+    from vanerf_tpu import config as vconfig
+
+    cfg = vconfig.default_cfg()
+    m = cfg["models"]["VANeRF"]
+    m["train_out_h"] = m["train_out_w"] = 8
+    m["geo_args"]["n_downsample"] = 2
+    m["dr_kwargs"]["sample_per_ray_c"] = 8
+    m["dr_kwargs"]["sample_per_ray_f"] = 8
+    cfg["dataset"]["synthetic_cfg"] = {"H": 32, "W": 32, "subdiv": 1,
+                                       "n_frames": 2}
+    cfg["out_dir"] = str(tmp_path / "out")
+    cfg_path = tmp_path / "tiny.json"
+    cfg_path.write_text(json.dumps(cfg))
+
+    sys.path.insert(0, "/root/repo")
+    try:
+        import train as train_cli
+        train_cli.main(["--config", str(cfg_path), "--synthetic_data",
+                        "--fast_dev_run", "--num_gpus", "2",
+                        "--out_dir", str(tmp_path / "out")])
+    finally:
+        sys.path.remove("/root/repo")
+    # fast_dev_run exits after 1 step; reaching here means the sharded
+    # dispatch succeeded (global batch 2 over 2 devices).
+    assert (tmp_path / "out" / cfg["expname"] / "config.json").exists()

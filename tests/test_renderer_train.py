@@ -73,6 +73,28 @@ def test_render_patch_smoke(setup):
     assert float(out["alpha_fine"].max()) > 0.2
 
 
+def test_mask_centered_grid_non_square():
+    """Per-axis offset + per-axis clamp (ref model.py:1172-1189 clamps
+    per-dim; round-1 build clamped both axes to min(W-1,H-1))."""
+    H, W, out_h, out_w = 16, 48, 4, 8
+    rng = jax.random.PRNGKey(3)
+    # mask concentrated at far right so x coords exceed min(W-1, H-1)=15
+    mask = jnp.zeros((1, H, W)).at[:, 8, 40].set(1.0)
+    g = mask_centered_grid(rng, mask, out_h, out_w)
+    assert g.shape == (1, out_h * out_w, 2)
+    x, y = np.asarray(g[0, :, 0]), np.asarray(g[0, :, 1])
+    assert x.min() >= 0 and x.max() <= W - 1
+    assert y.min() >= 0 and y.max() <= H - 1
+    # the grid is centered per-axis: spans out_w in x, out_h in y
+    np.testing.assert_allclose(x.max() - x.min(), out_w - 1)
+    np.testing.assert_allclose(y.max() - y.min(), out_h - 1)
+    assert x.max() > 15  # would fail under the old min(W-1,H-1) clamp
+    # corner mask: clamped but still in-bounds on both axes independently
+    mask2 = jnp.zeros((1, H, W)).at[:, 0, W - 1].set(1.0)
+    g2 = np.asarray(mask_centered_grid(rng, mask2, out_h, out_w)[0])
+    assert g2[:, 0].max() <= W - 1 and g2[:, 1].min() >= 0
+
+
 def test_train_step_updates_and_is_finite(setup):
     cfg, model, batch, _ = setup
     disc = DiscriminatorVis()

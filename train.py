@@ -15,8 +15,18 @@ import os
 import numpy as np
 
 
-def main():
+def main(argv=None):
     import jax
+
+    # Honor JAX_PLATFORMS even when the environment pre-imports jax and
+    # force-registers a TPU backend (env-var forcing is snapshotted too
+    # late there; jax.config.update works until backend init).
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass  # backend already initialized; leave as-is
     import jax.numpy as jnp
 
     from vanerf_tpu import config as vconfig
@@ -29,7 +39,8 @@ def main():
                                                 make_train_step)
 
     parser = vconfig.create_parser()
-    args = parser.parse_args()
+    args = parser.parse_args(argv)
+    vconfig.resolve_flags(args)
     cfg = vconfig.load_cfg(args.config)
     cfg["dataset"]["data_root"] = args.data_root
     if args.out_dir is not None:
@@ -40,8 +51,13 @@ def main():
 
     # ---- dataset ----
     if args.synthetic_data:
-        ds_train = SyntheticDataset(n_frames=4, split="train")
-        ds_test = SyntheticDataset(n_frames=2, split="test")
+        scfg = cfg["dataset"].get("synthetic_cfg", {})
+        ds_kw = {k: scfg[k] for k in ("H", "W", "subdiv", "n_cams")
+                 if k in scfg}
+        ds_kw["num_input_view"] = cfg["dataset"].get("num_input_view", 1)
+        ds_train = SyntheticDataset(n_frames=scfg.get("n_frames", 4),
+                                    split="train", **ds_kw)
+        ds_test = SyntheticDataset(n_frames=2, split="test", **ds_kw)
         faces = ds_train.faces
         num_v = ds_train.num_v
     else:
@@ -55,8 +71,15 @@ def main():
     disc = DiscriminatorVis()
     rng = jax.random.PRNGKey(0)
 
+    # DDP semantics (ref train.py:58-65): N ranks each draw
+    # train_batch_size, so the global batch is N x train_batch_size,
+    # sharded P("data") over the mesh.
+    per_device_bs = cfg["training"].get("train_batch_size", 1)
+    global_bs = args.num_gpus * per_device_bs
+
     collate = lambda items: collate_numpy(items, faces=faces)  # noqa: E731
-    sample_batch = collate([ds_train[0]])
+    sample_batch = collate([ds_train[i % len(ds_train)]
+                            for i in range(global_bs)])
     n_views = cfg["dataset"].get("num_input_view", 1)
     state, (tx_g, tx_d) = create_train_state(
         model, disc, rng, sample_batch, cfg,
@@ -87,7 +110,7 @@ def main():
         return
 
     if args.synthetic_data:
-        ds_val = SyntheticDataset(n_frames=1, split="test")
+        ds_val = SyntheticDataset(n_frames=1, split="test", **ds_kw)
     else:
         from vanerf_tpu.data.interhand import InterHandDataset
         ds_val = InterHandDataset.from_config(cfg["dataset"], "val", cfg)
@@ -99,7 +122,7 @@ def main():
     state = fit(step_fn, state, ds_train, collate, cfg=cfg,
                 save_dir=save_dir, rng=jax.random.PRNGKey(1),
                 val_fn=None if args.fast_dev_run else val_fn,
-                fast_dev_run=args.fast_dev_run)
+                fast_dev_run=args.fast_dev_run, batch_size=global_bs)
     if args.profile_dir:
         jax.profiler.stop_trace()
     print("Training done at step", int(state.step))

@@ -44,6 +44,20 @@ def create_parser() -> argparse.ArgumentParser:
     return parser
 
 
+def resolve_flags(args) -> None:
+    """Post-parse flag routing (mutates args in place).
+
+    ``--in_the_wild``: the reference's own code path is broken (ref
+    ``train.py:73`` references an undefined ``model_in_the_wild``), so the
+    flag routes to the eval path — equivalent to ``--run_val``. Documented
+    deviation (PARITY.md).
+    """
+    if getattr(args, "in_the_wild", False):
+        logger.warning("--in_the_wild: reference code path is broken "
+                       "upstream (train.py:73); treating as --run_val.")
+        args.run_val = True
+
+
 def load_cfg(path: str) -> dict:
     """Load a JSON or YAML config (reference ``src/config.py:54-68``)."""
     if path.endswith(".json"):

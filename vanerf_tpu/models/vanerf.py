@@ -13,6 +13,7 @@ up with per-view camera matrices exactly like the reference's `.view(-1,...)`.
 
 from __future__ import annotations
 
+import logging
 from typing import Any, Optional, Sequence
 
 import flax.linen as nn
@@ -77,6 +78,14 @@ class VANeRF(nn.Module):
                       else "float32")
         cdt = os.environ.get("VANERF_COMPUTE_DTYPE",
                              m.get("compute_dtype", default_dt))
+        src = ("env VANERF_COMPUTE_DTYPE" if "VANERF_COMPUTE_DTYPE" in
+               os.environ else "config models.VANeRF.compute_dtype"
+               if "compute_dtype" in m else
+               f"platform default ({jax.default_backend()})")
+        # The default is platform-dependent — surface it loudly so TPU
+        # runs are never silently non-reproducible vs f32 baselines.
+        logging.getLogger("vanerf_tpu").warning(
+            "VANeRF compute_dtype=%s (%s)", cdt, src)
         return cls(
             num_v=num_v,
             compute_dtype=cdt,

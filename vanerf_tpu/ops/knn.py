@@ -34,6 +34,11 @@ def nearest_vertex_d2(query: jnp.ndarray, verts: jnp.ndarray,
         from .knn_pallas import nearest_vertex_d2_pallas
         return nearest_vertex_d2_pallas(query, verts)
     N = query.shape[0]
+    # d2 must be a certified upper bound in f32 for any input dtype: a
+    # bf16 difference could round below the true distance, which the
+    # culled kernel's tolerance does not cover.
+    query = query.astype(jnp.float32)
+    verts = verts.astype(jnp.float32)
 
     def one(qc):
         d2 = jnp.sum((qc[:, None] - verts[None]) ** 2, axis=-1)

@@ -609,8 +609,11 @@ def _ray_constants(tri_f: jnp.ndarray, pad_f: int) -> jnp.ndarray:
 #     between the tile's bbox and the chunk's bbox exceeds the tile's
 #     certified upper bound (max over points of the nearest-VERTEX squared
 #     distance — every vertex lies on the mesh, so it bounds the face
-#     distance).  Any face that could win the argmin survives, so d2/idx/
-#     vis are bit-identical to the brute kernel.
+#     distance).  Any face that could win the argmin survives, so the
+#     argmin face / winding / visibility choices match the brute kernel
+#     exactly; distances agree up to fp rounding (the culled path's
+#     _distance_chunk_vis_fast uses a different closed-form evaluation
+#     order, so d2 is NOT bitwise-reproducible across the two kernels).
 #   * winding (ray crossings): a chunk is skipped when the fixed ray swept
 #     from the tile bbox provably misses the chunk bbox (conservative SAT:
 #     per-axis half-space tests + the three d x e_k cross axes).  Skipped
@@ -922,8 +925,11 @@ def point_mesh_query_vis_culled(points: jnp.ndarray, triangles: jnp.ndarray,
                                 interpret: bool = False, prep=None):
     """Culled fused distance + argmin + ray winding + visibility.
 
-    Bit-identical to ``point_mesh_query_vis_pallas(..., mode='ray')`` given a
-    valid upper bound; see the module comment above for the argument.
+    Given a valid upper bound: exact same argmin face / winding /
+    visibility as ``point_mesh_query_vis_pallas(..., mode='ray')``;
+    distances equal up to fp rounding (different evaluation order in
+    ``_distance_chunk_vis_fast``) — do not rely on bitwise d2
+    reproducibility across the two kernels.
 
     Args:
       points: (N, 3); triangles: (F, 3, 3); face_vis: (F, 3);

@@ -62,8 +62,9 @@ def mask_centered_grid(rng, mask, out_h: int, out_w: int):
                               jnp.arange(out_w, dtype=jnp.float32),
                               indexing="ij")
         g = jnp.stack([xs, ys], -1).reshape(-1, 2)
-        g = g + jnp.stack([cx, cy]) - out_h // 2
-        return jnp.clip(g, 0, min(W - 1, H - 1))
+        g = g + jnp.stack([cx - out_w // 2, cy - out_h // 2])
+        return jnp.clip(g, jnp.zeros((2,), jnp.float32),
+                        jnp.asarray([W - 1, H - 1], jnp.float32))
 
     keys = jax.random.split(rng, B)
     return jax.vmap(one)(keys, mask)

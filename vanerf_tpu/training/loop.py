@@ -84,7 +84,8 @@ def fit(train_step: Callable, state: TrainState, dataset,
         collate: Callable, *, cfg: dict, save_dir: str,
         rng: jax.Array, max_epochs: Optional[int] = None,
         val_fn: Optional[Callable] = None, fast_dev_run: bool = False,
-        log_every: int = 10, nan_check: bool = False):
+        log_every: int = 10, nan_check: bool = False,
+        batch_size: Optional[int] = None):
     """Run the training loop.
 
     Args:
@@ -92,11 +93,16 @@ def fit(train_step: Callable, state: TrainState, dataset,
       dataset: indexable dataset of per-sample dicts.
       collate: list[dict] -> device batch dict.
       val_fn: optional (state, step, logger) -> dict with 'val_total_loss'.
+      batch_size: global batch size override. The multi-device CLI passes
+        num_gpus * train_batch_size here (DDP semantics, ref train.py:58-65:
+        N ranks each drawing train_batch_size). Short batches (None-dropped
+        samples, tail) are padded cyclically so the shard_map 'data'-axis
+        split stays divisible.
     Returns final state.
     """
     tcfg = cfg["training"]
     max_epochs = max_epochs or tcfg.get("max_epochs", 30)
-    batch_size = tcfg.get("train_batch_size", 1)
+    batch_size = batch_size or tcfg.get("train_batch_size", 1)
     val_interval = tcfg.get("pl_cfg", {}).get("val_check_interval", 0.1)
 
     logger = MetricLogger(save_dir)
@@ -120,6 +126,9 @@ def fit(train_step: Callable, state: TrainState, dataset,
             items = [it for it in items if it is not None]
             if not items:       # None-tolerant collate (model.py:123-132)
                 return ()
+            if len(items) < batch_size:      # pad for shard divisibility
+                n0 = len(items)
+                items = [items[i % n0] for i in range(batch_size)]
             return collate(items)
 
         for batch in Prefetcher(make_batch, steps_per_epoch):
