@@ -55,7 +55,7 @@ def main():
         batch["kpt3d"], cam["KRT"], cam["extrin"], batch["znear"],
         batch["zfar"])
 
-    def run(params, batch, rng):
+    def one_patch(params, batch, rng):
         grids = mask_centered_grid(rng, batch["tar_mask"][..., 0],
                                    out_hw, out_hw)
         out = render_patch(
@@ -65,19 +65,30 @@ def main():
             sdf_chunk=4096, compute_vis_map=False)
         return out["tex_fg_fine"]
 
+    # G patches per dispatch — the serving shape (full-image eval renders
+    # 16 strided tiles per frame, see renderer.render_full_image's
+    # tile_group); lax.map keeps peak memory at one patch while amortizing
+    # the per-call host->device dispatch overhead of remote transports.
+    G = 4
+
+    def run(params, batch, rngs):
+        return jax.lax.map(lambda k: one_patch(params, batch, k), rngs)
+
     run_j = jax.jit(run)
-    img = run_j(params, batch, rng)
+    keys = jax.random.split(rng, G)
+    img = run_j(params, batch, keys)
     jax.block_until_ready(img)                       # compile + warm
 
-    iters = 5
+    iters = 4
     t0 = time.perf_counter()
     for i in range(iters):
-        img = run_j(params, batch, jax.random.PRNGKey(i))
+        img = run_j(params, batch,
+                    jax.random.split(jax.random.PRNGKey(i), G))
     jax.block_until_ready(img)
     dt = (time.perf_counter() - t0) / iters
 
     # coarse (64) + fine (64+64 sorted) full query-pipeline evaluations
-    samples = out_hw * out_hw * (spc + spc + spf) * B
+    samples = out_hw * out_hw * (spc + spc + spf) * B * G
     rate = samples / dt
     print(json.dumps({
         "metric": "ray_samples_per_sec",

@@ -5,8 +5,9 @@ Usage (reference ``render_dynamic.py:9-33``):
       --model_ckpt EXPERIMENTS/vanerf/ckpts [--synthetic_data]
 
 Renders a 20-frame 360-degree orbit around each subject with
-``get_360cameras`` (wobble schedule parity) and writes PNG frames + a GIF
-(mp4 requires ffmpeg/cv2; GIF via imageio which is available).
+``get_360cameras`` (wobble schedule parity) and writes PNG frames, a GIF
+and an MJPEG .mp4 (pure-python muxer, ``vanerf_tpu/video.py``) — the same
+three outputs as the reference (``model.py:190-207``).
 """
 
 import os
@@ -14,9 +15,18 @@ import os
 import numpy as np
 
 
-def main():
+def main(argv=None):
     import imageio
     import jax
+
+    # honor JAX_PLATFORMS even when the environment pre-registered a TPU
+    # backend (see train.py)
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
     import jax.numpy as jnp
 
     from vanerf_tpu import config as vconfig
@@ -29,14 +39,17 @@ def main():
     from vanerf_tpu.training.train_step import create_train_state
 
     parser = vconfig.create_parser()
-    args = parser.parse_args()
+    args = parser.parse_args(argv)
     cfg = vconfig.load_cfg(args.config)
     if args.out_dir is not None:
         cfg["out_dir"] = args.out_dir
     save_dir = os.path.join(cfg["out_dir"], cfg.get("expname", "default"))
 
     if args.synthetic_data:
-        ds = SyntheticDataset(n_frames=1, split="test")
+        scfg = cfg["dataset"].get("synthetic_cfg", {})
+        ds_kw = {k: scfg[k] for k in ("H", "W", "subdiv", "n_cams")
+                 if k in scfg}
+        ds = SyntheticDataset(n_frames=1, split="test", **ds_kw)
     else:
         from vanerf_tpu.data.interhand import InterHandDataset
         ds = InterHandDataset.from_config(cfg["dataset"], "test_visualize",
@@ -57,7 +70,8 @@ def main():
             print("Loaded checkpoint at step", step)
 
     # orbit cameras around the hand center (model.py:140-207 flow)
-    trans, n_frames = 10.0, 20
+    trans = 10.0
+    n_frames = cfg.get("video_cfg", {}).get("n_frames", 20)
     sc = 1.0
     znear, zfar = (trans - 5.0) * sc, (trans + 5.0) * sc
     im_w = im_h = int(batch["src_img"].shape[2])
@@ -89,6 +103,11 @@ def main():
         print(f"frame {fi+1}/{n_frames}")
     imageio.mimsave(os.path.join(out_dir, "nvs.gif"), frames, duration=0.1)
     print("Saved:", os.path.join(out_dir, "nvs.gif"))
+    # mp4 alongside the GIF (ref model.py:190-207 writes both); pure-python
+    # MJPEG muxer since ffmpeg/cv2 are unavailable in this image
+    from vanerf_tpu.video import write_mjpeg_mp4
+    mp4 = write_mjpeg_mp4(os.path.join(out_dir, "nvs.mp4"), frames, fps=10)
+    print("Saved:", mp4)
 
 
 if __name__ == "__main__":

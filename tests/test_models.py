@@ -5,6 +5,9 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+# full-module forwards compile for minutes on the single-core CPU tier
+pytestmark = pytest.mark.slow
+
 from vanerf_tpu.models import (ConvBlock, HourGlass, HGFilter, ResBlkEncoder,
                                MLP, MLPUNetFusion, SpatialEncoder,
                                GeoVisFusion, TexVisFusion, IBRRenderingHead,

@@ -8,6 +8,9 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+# interpret-mode kernels are minutes-slow on CPU
+pytestmark = pytest.mark.slow
+
 from vanerf_tpu.ops.mesh_query import point_mesh_query
 from vanerf_tpu.ops.mesh_query_pallas import point_mesh_query_pallas
 from oracles import make_icosphere

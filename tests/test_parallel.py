@@ -10,6 +10,9 @@ import sys
 import numpy as np
 import pytest
 
+# 8-device shard_map GAN-step compiles take minutes on CPU
+pytestmark = pytest.mark.slow
+
 
 def test_shard_map_train_step_runs_and_averages():
     import jax

@@ -39,6 +39,7 @@ def setup():
     return cfg, model, batch, num_v
 
 
+@pytest.mark.slow
 def test_render_patch_smoke(setup):
     cfg, model, batch, _ = setup
     rng = jax.random.PRNGKey(0)
@@ -95,6 +96,7 @@ def test_mask_centered_grid_non_square():
     assert g2[:, 0].max() <= W - 1 and g2[:, 1].min() >= 0
 
 
+@pytest.mark.slow
 def test_train_step_updates_and_is_finite(setup):
     cfg, model, batch, _ = setup
     disc = DiscriminatorVis()
@@ -116,6 +118,7 @@ def test_train_step_updates_and_is_finite(setup):
     assert l2diff(state.params_d, new_state.params_d) > 0
 
 
+@pytest.mark.slow
 def test_render_full_image_tile_groups_match(setup):
     from vanerf_tpu.renderer import render_full_image
     cfg, model, batch, _ = setup
@@ -149,6 +152,7 @@ def test_render_full_image_tile_groups_match(setup):
                                np.asarray(o1b["tex_fg_fine"]), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_render_patch_two_views():
     """Multi-view path: V=2 source views, view-dependent IBR blending."""
     cfg = tiny_cfg()

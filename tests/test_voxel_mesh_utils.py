@@ -1,8 +1,12 @@
 """Tests for voxel ops, the sp_conv fusion branch, and mesh utilities."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
+
+# dense-3D-conv branch compiles are minutes-slow on CPU
+pytestmark = pytest.mark.slow
 
 from vanerf_tpu.ops.voxel import (scatter_to_grid, grid_sample_3d,
                                   world_to_grid_coords)

@@ -201,12 +201,14 @@ def convert_geo_vis_fusion(sd, pre, out):
 
 
 def convert_global_ctx(sd, pre, out):
+    """fconv3/fconv4 (networks.py:246-264): torch LayerNorm([H, W])
+    carries a full (H, W) elementwise affine -> our (H, W, 1) params."""
     conv2d(sd, f"{pre}.0", out, "Conv_0", bias=False)
-    out["ln0_scale"] = np.asarray(sd[f"{pre}.1.weight"]).reshape(-1)[:1]
-    out["ln0_bias"] = np.asarray(sd[f"{pre}.1.bias"]).reshape(-1)[:1]
+    out["ln0_scale"] = np.asarray(sd[f"{pre}.1.weight"])[..., None]
+    out["ln0_bias"] = np.asarray(sd[f"{pre}.1.bias"])[..., None]
     conv2d(sd, f"{pre}.3", out, "Conv_1", bias=False)
-    out["ln1_scale"] = np.asarray(sd[f"{pre}.4.weight"]).reshape(-1)[:1]
-    out["ln1_bias"] = np.asarray(sd[f"{pre}.4.bias"]).reshape(-1)[:1]
+    out["ln1_scale"] = np.asarray(sd[f"{pre}.4.weight"])[..., None]
+    out["ln1_bias"] = np.asarray(sd[f"{pre}.4.bias"])[..., None]
 
 
 def convert_tex_vis_fusion(sd, pre, out):

@@ -21,6 +21,18 @@ _TORCH_IDX_TO_NAME = {
 }
 
 
+def convert_vgg_sd(sd) -> dict:
+    """torchvision vgg19 `features.*` state_dict -> flat npz mapping
+    (`{layer}.kernel` HWIO / `{layer}.bias`) for losses.Vgg19Features."""
+    out = {}
+    for idx, name in _TORCH_IDX_TO_NAME.items():
+        w = np.asarray(sd[f"features.{idx}.weight"])
+        b = np.asarray(sd[f"features.{idx}.bias"])
+        out[f"{name}.kernel"] = np.transpose(w, (2, 3, 1, 0))
+        out[f"{name}.bias"] = b
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", required=True)
@@ -36,12 +48,8 @@ def main():
         import torchvision
         sd = torchvision.models.vgg19(pretrained=True).state_dict()
 
-    out = {}
-    for idx, name in _TORCH_IDX_TO_NAME.items():
-        w = sd[f"features.{idx}.weight"].numpy()
-        b = sd[f"features.{idx}.bias"].numpy()
-        out[f"{name}.kernel"] = np.transpose(w, (2, 3, 1, 0))
-        out[f"{name}.bias"] = b
+    out = convert_vgg_sd({k: v.numpy() for k, v in sd.items()
+                          if k.startswith("features.")})
     np.savez(args.out, **out)
     print("wrote", args.out, "with", len(out), "arrays")
 

@@ -47,32 +47,30 @@ _INPUT_LIST_27_BIG = {"0": [0, 3], "1": [0, 4], "2": [0, 6],
                       "3": [4, 8], "4": [0, 13]}
 
 
-def color_jitter_np(img: np.ndarray, rng: np.random.RandomState) -> np.ndarray:
-    """Brightness/contrast/saturation/hue jitter with shared seed.
+from .jitter import color_jitter_ref  # noqa: E402  (torchvision-exact)
 
-    Approximates torchvision ColorJitter((0.2,2),(0.3,2),(0.2,2),(-0.5,0.5))
-    (``dataset.py:113-120``) in numpy.  Input/output uint8 HWC.
+
+def erode_target_mask(img: np.ndarray, mask: np.ndarray,
+                      if_color_jitter: bool):
+    """Target-view mask erosion (ref ``dataset.py:470-475``).
+
+    Pixels whose green channel falls at/below the threshold are pushed to
+    background; the threshold depends on the ``color_jitter`` config FLAG
+    (not on whether jitter was actually applied — test mode with the flag
+    on still uses 0.03, exactly like the reference).
+
+    Args:
+      img: (H, W, 3) float in [0, 1], already background-masked.
+      mask: (H, W) uint8/bool foreground mask.
+    Returns:
+      (img, mask) eroded copies.
     """
-    x = img.astype(np.float32) / 255.0
-    b = rng.uniform(0.2, 2.0)
-    c = rng.uniform(0.3, 2.0)
-    s = rng.uniform(0.2, 2.0)
-    h = rng.uniform(-0.5, 0.5)
-    x = np.clip(x * b, 0, 1)
-    mean = x.mean()
-    x = np.clip((x - mean) * c + mean, 0, 1)
-    grey = x.mean(-1, keepdims=True)
-    x = np.clip((x - grey) * s + grey, 0, 1)
-    # hue: rotate in a simple YIQ-ish space
-    if abs(h) > 1e-3:
-        theta = 2 * np.pi * h
-        cos, sin = np.cos(theta), np.sin(theta)
-        m = np.array([[0.299, 0.587, 0.114]] * 3, np.float32)
-        rot = m + cos * (np.eye(3, dtype=np.float32) - m) + sin * np.array(
-            [[0.0, -0.59, 0.59], [0.203, 0.0, -0.203], [-0.927, 0.927, 0.0]],
-            np.float32)
-        x = np.clip(x @ rot.T, 0, 1)
-    return (x * 255).astype(np.uint8)
+    thr = 0.03 if if_color_jitter else 0.1
+    mask = mask.copy()
+    mask[img[:, :, 1] <= thr] = 0
+    img = img.copy()
+    img[mask == 0] = 0
+    return img, mask
 
 
 class InterHandDataset:
@@ -246,7 +244,8 @@ class InterHandDataset:
                             if self.mode == "train" else 7)
         views = self.select_views(all_views, capture_id, index_res, rng)
 
-        jitter_rng = np.random.RandomState(rng.randint(0, 9000000))
+        # per-item jitter seed shared across views (dataset.py:374,457)
+        jitter_seed = rng.randint(0, 9000000)
         imgs, masks, Ks, Rts, dps = [], [], [], [], []
         for vi, (cam, _aid) in enumerate(views):
             with open(osp.join(
@@ -266,17 +265,12 @@ class InterHandDataset:
             if mask.ndim == 3:
                 mask = mask[..., 0]
             if self.mode == "train" and self.if_color_jitter:
-                st = jitter_rng.get_state()
-                img = color_jitter_np(img, jitter_rng)
-                jitter_rng.set_state(st)    # same jitter for every view
+                img = color_jitter_ref(img, jitter_seed)
             img = img.astype(np.float32) / 255.0
             img[mask == 0] = 0
-            # target-view mask erosion (dataset.py:470-475)
             if vi == 0:
-                thr = 0.03 if self.if_color_jitter else 0.1
-                mask = mask.copy()
-                mask[img[:, :, 1] <= thr] = 0
-                img[mask == 0] = 0
+                img, mask = erode_target_mask(img, mask,
+                                              self.if_color_jitter)
             dp_path = osp.join(base, "densepose", rel)
             if osp.exists(dp_path):
                 dp = np.asarray(Image.open(dp_path)).astype(np.float32) / 255.

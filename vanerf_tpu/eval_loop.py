@@ -132,6 +132,12 @@ def run_test(model, state, dataset, cfg: dict, save_dir: str,
 
     results = {k: float(np.nanmean([s[k] for s in scores]))
                for k in scores[0]}
+    # self-describing weight provenance: lpips is NaN until AlexNet
+    # weights are converted (zero-egress blocker), and a random-init VGG
+    # changes the training objective — every report says which ran.
+    results["lpips_pretrained"] = evaluator.lpips_fn is not None
+    results["vgg_random_init"] = not bool(
+        os.environ.get("VANERF_VGG19_NPZ", ""))
     step = int(state.step)
     path = os.path.join(save_dir, f"test_{test_dst_name}_0_{step}.yml")
     with open(path, "w") as f:

@@ -159,6 +159,15 @@ class VGGLoss:
                 params = self._load_npz(path)
                 self.pretrained = True
             else:
+                import logging
+                # surface this loudly: with random features the training
+                # objective differs from the reference's pretrained VGG
+                # (lambda_vgg=1); convert once with tools/convert_vgg.py
+                # and set VANERF_VGG19_NPZ when egress exists.
+                logging.getLogger("vanerf_tpu").warning(
+                    "VGGLoss: vgg_random_init=true (no VANERF_VGG19_NPZ; "
+                    "fixed-seed random VGG features stand in for the "
+                    "pretrained torchvision weights)")
                 params = self.net.init(
                     jax.random.PRNGKey(19),
                     jnp.zeros((1, dummy_hw, dummy_hw, 3)))

@@ -184,11 +184,16 @@ class GlobalCtxConv(nn.Module):
         return x.reshape(B, 9, C).swapaxes(1, 2)       # (B, C, 9)
 
     def _ln_hw(self, h, name):
+        # torch LayerNorm([H, W], eps=1e-6): normalize over (H, W) per
+        # (B, C) slice, elementwise (H, W) affine (networks.py:248-263
+        # hard-codes [64,64]/[256,256]); the affine shape follows the
+        # actual map so converted reference weights load losslessly.
         m = h.mean(axis=(1, 2), keepdims=True)
         var = ((h - m) ** 2).mean(axis=(1, 2), keepdims=True)
-        g = self.param(f"{name}_scale", nn.initializers.ones, (1,))
-        b = self.param(f"{name}_bias", nn.initializers.zeros, (1,))
-        return (h - m) / jnp.sqrt(var + 1e-6) * g + b
+        hw = (h.shape[1], h.shape[2], 1)
+        g = self.param(f"{name}_scale", nn.initializers.ones, hw)
+        b = self.param(f"{name}_bias", nn.initializers.zeros, hw)
+        return (h - m) / jnp.sqrt(var + 1e-6) * g[None] + b[None]
 
 
 class TexVisFusion(nn.Module):
