@@ -69,7 +69,7 @@ def main():
     # 16 strided tiles per frame, see renderer.render_full_image's
     # tile_group); lax.map keeps peak memory at one patch while amortizing
     # the per-call host->device dispatch overhead of remote transports.
-    G = 4
+    G = 8
 
     def run(params, batch, rngs):
         return jax.lax.map(lambda k: one_patch(params, batch, k), rngs)

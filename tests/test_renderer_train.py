@@ -181,3 +181,27 @@ def test_render_patch_two_views():
     assert out["tex_fg_fine"].shape == (B, 8, 8, 3)
     for k, v in out.items():
         assert np.isfinite(np.asarray(v)).all(), f"non-finite {k}"
+
+
+@pytest.mark.slow
+def test_gradient_accumulation_defers_updates(setup):
+    """accumulate_grad_batches=2 (ref train.py:63 config hook) wraps both
+    optimizers in optax.MultiSteps: params change only every 2nd step."""
+    import copy
+    cfg, model, batch, _ = setup
+    cfg = copy.deepcopy(cfg)
+    cfg["training"]["accumulate_grad_batches"] = 2
+    disc = DiscriminatorVis()
+    rng = jax.random.PRNGKey(5)
+    state, (tx_g, tx_d) = create_train_state(
+        model, disc, rng, batch, cfg, steps_per_epoch=10)
+    vgg = L.VGGLoss(dummy_hw=8)
+    step = jax.jit(make_train_step(model, disc, tx_g, tx_d, cfg, vgg))
+
+    leaf0 = np.asarray(jax.tree.leaves(state.params_g)[0]).copy()
+    s1, logs1 = step(state, batch, jax.random.PRNGKey(6))
+    leaf1 = np.asarray(jax.tree.leaves(s1.params_g)[0])
+    np.testing.assert_array_equal(leaf0, leaf1)     # grads only accumulated
+    s2, logs2 = step(s1, batch, jax.random.PRNGKey(7))
+    leaf2 = np.asarray(jax.tree.leaves(s2.params_g)[0])
+    assert not np.array_equal(leaf1, leaf2)         # applied on 2nd batch
