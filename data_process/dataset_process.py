@@ -96,7 +96,7 @@ def render_mask_densepose(verts, faces, K, R, t, H, W):
     return mask.reshape(H, W), dp.reshape(H, W, 3)
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--data_root", required=True)
     ap.add_argument("--out", default="./processed_dataset")
@@ -104,7 +104,7 @@ def main():
                     choices=["train", "val", "test"])
     ap.add_argument("--smplx_path", default="smplx/models")
     ap.add_argument("--max_frames", type=int, default=-1)
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     annot = osp.join(args.data_root, "InterHand2.6M", "annotations",
                      args.split)
