@@ -98,3 +98,52 @@ def test_cli_multi_device_train(tmp_path):
     # fast_dev_run exits after 1 step; reaching here means the sharded
     # dispatch succeeded (global batch 2 over 2 devices).
     assert (tmp_path / "out" / cfg["expname"] / "config.json").exists()
+
+
+def test_sharded_full_image_matches_single_device():
+    """Multi-chip inference: render_full_image with a 4-device mesh shards
+    the tile-group batch under shard_map and reproduces the single-device
+    output exactly (serving-side DP; renderer._lazy_sharded_tile)."""
+    import jax
+    import jax.numpy as jnp
+    from vanerf_tpu import config as vconfig
+    from vanerf_tpu.data import make_synthetic_batch
+    from vanerf_tpu.models import VANeRF
+    from vanerf_tpu.parallel import make_mesh
+    from vanerf_tpu.renderer import render_full_image
+
+    cfg = vconfig.default_cfg()
+    m = cfg["models"]["VANeRF"]
+    m["train_out_h"] = m["train_out_w"] = 8
+    m["geo_args"]["n_downsample"] = 2
+    batch_np, _faces, num_v = make_synthetic_batch(
+        batch_size=1, H=32, W=32, subdiv=1)
+    batch = jax.tree.map(jnp.asarray, batch_np)
+    model = VANeRF.from_config(cfg, num_v=num_v)
+    rng = jax.random.PRNGKey(0)
+    B = batch["tar_k"].shape[0]
+    V2 = batch["verts"].shape[1]
+    n = 4
+    cam = {"KRT": batch["src_krt"], "extrin": batch["src_extrin"],
+           "width": 32, "height": 32, "znear": batch["znear"],
+           "zfar": batch["zfar"]}
+    params = model.init(rng, batch["src_img"], jnp.zeros((B, n, 3)),
+                        jnp.ones((B, n, 3)), cam, batch["src_mask"],
+                        batch["verts"], jnp.ones((B, V2, 1)),
+                        jnp.ones((B, n, 1)), jnp.zeros((B, n, 1)),
+                        batch["kpt3d"], n)
+
+    ref = render_full_image(model, params, batch, level=2,
+                            sample_per_ray_c=8, sample_per_ray_f=8,
+                            tile_group=4)
+    mesh = make_mesh(4)
+    out = render_full_image(model, params, batch, level=2,
+                            sample_per_ray_c=8, sample_per_ray_f=8,
+                            tile_group=4, mesh=mesh)
+    assert out["tex_fg_fine"].shape == (B, 32, 32, 3)
+    np.testing.assert_allclose(np.asarray(out["tex_fg_fine"]),
+                               np.asarray(ref["tex_fg_fine"]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out["alpha_fine"]),
+                               np.asarray(ref["alpha_fine"]),
+                               rtol=1e-5, atol=1e-6)

@@ -88,7 +88,7 @@ def make_val_fn(model, disc, dataset, cfg: dict, vggloss, n_views: int = 1,
 
 def run_test(model, state, dataset, cfg: dict, save_dir: str,
              n_views: int = 1, max_items: Optional[int] = None,
-             tag: Optional[str] = None):
+             tag: Optional[str] = None, mesh=None):
     test_dst_name = tag or cfg.get("test_dst_name", "test")
     result_dir = os.path.join(save_dir, f"images_{test_dst_name}")
     evaluator = Evaluator(result_dir)
@@ -109,9 +109,16 @@ def run_test(model, state, dataset, cfg: dict, save_dir: str,
         # multi-chip serving unit.  Single-chip it no longer pays (the
         # per-call dispatch overhead it amortized is gone), so default 1.
         tg = cfg["training"].get("eval_tile_group", 1)
+        use_mesh = mesh
+        if mesh is not None:
+            # multi-chip serving: the tile group shards P("data") over the
+            # mesh, so it must be a (nonzero) multiple of the mesh size
+            tg = max(tg, mesh.size) // mesh.size * mesh.size
+            if min(tg, n_tiles) % mesh.size != 0:
+                use_mesh = None     # image too small to split; single-chip
         out = render_full_image(
             model, params, batch, level=level, n_views=n_views,
-            tile_group=min(tg, n_tiles))
+            tile_group=min(tg, n_tiles), mesh=use_mesh)
         pred = np.clip(np.asarray(out["tex_fg_fine"])[0], 0.0, 1.0)
         gt = np.asarray(batch["tar_img"])[0]
         # SSIM crop region: ray-AABB mask when the dataset provides it

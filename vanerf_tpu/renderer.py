@@ -327,10 +327,67 @@ def render_patch(model, params, batch: Dict[str, Any], *, rng,
 
 _TILE_FN_CACHE: dict = {}
 
+def _lazy_sharded_tile(tile, mesh, axis: str = "data"):
+    """Wrap the per-tile render in shard_map over the mesh's data axis.
+
+    Specs are derived from the first call's arguments: leaves whose
+    leading dim equals the global group-batch are sharded, everything
+    else (params, mesh topology, scalars) replicated.  shard_map (not
+    GSPMD annotations) is load-bearing: the Pallas mesh-query/KNN/raster
+    custom calls cannot be partitioned by the compiler, so each device
+    must invoke them on its own shard (same reasoning as
+    ``parallel/train.py``).
+    """
+    from jax.sharding import PartitionSpec as P
+    from .parallel.train import shard_map
+
+    state = {}
+
+    def call(params, gbatch, strides, rng, cached):
+        if "fn" not in state:
+            gb = strides.shape[0]
+
+            def spec(x):
+                nd = jnp.ndim(x)
+                if nd >= 1 and x.shape[0] == gb:
+                    return P(axis, *([None] * (nd - 1)))
+                if nd >= 1 and x.shape[0] % gb == 0 and x.shape[0] > 0 \
+                        and x.shape[0] != 1:
+                    # view-flattened leaves: (G*B*V, ...) shards evenly
+                    return P(axis, *([None] * (nd - 1)))
+                return P()
+
+            g_specs = {k: (None if v is None
+                           else P() if k in ("faces", "znear", "zfar")
+                           else spec(v)) for k, v in gbatch.items()}
+            c_specs = jax.tree.map(spec, cached)
+            out_shape = jax.eval_shape(tile, params, gbatch, strides, rng,
+                                       cached)
+            o_specs = jax.tree.map(
+                lambda s: (P(axis, *([None] * (len(s.shape) - 1)))
+                           if len(s.shape) >= 1 and s.shape[0] == gb
+                           else P()), out_shape)
+            import inspect
+            kwargs = dict(mesh=mesh,
+                          in_specs=(P(), g_specs, P(axis, None), P(),
+                                    c_specs),
+                          out_specs=o_specs)
+            sig = inspect.signature(shard_map).parameters
+            if "check_vma" in sig:
+                kwargs["check_vma"] = False
+            elif "check_rep" in sig:
+                kwargs["check_rep"] = False
+            state["fn"] = jax.jit(shard_map(tile, **kwargs))
+        return state["fn"](params, gbatch, strides, rng, cached)
+
+    return call
+
+
 def render_full_image(model, params, batch, *, level: int,
                       sample_per_ray_c: int = 64, sample_per_ray_f: int = 64,
                       n_views: int = 1, rng=None, sdf_chunk: int = 2048,
-                      compute_vis_map: bool = False, tile_group: int = 1):
+                      compute_vis_map: bool = False, tile_group: int = 1,
+                      mesh=None):
     """Render the full target image by stride^2 interleaved patch passes.
 
     Parity with ``render_pifu_nerf`` (``model.py:1026-1100``): each pass
@@ -338,9 +395,13 @@ def render_full_image(model, params, batch, *, level: int,
     inverse pixel-shuffle.  Deterministic (uniform sampling, no noise).
 
     `tile_group` folds G stride offsets into the batch dimension of ONE
-    compiled call — the unit of data parallelism for serving: with a
-    G-device mesh and the batch dim sharded, each device renders one tile
-    (the batch axis is already the sharded axis in `parallel/`).
+    compiled call — the unit of data parallelism for serving.  With a
+    `jax.sharding.Mesh` passed as `mesh`, that group batch is sharded
+    over the mesh's 'data' axis under shard_map (the Pallas mesh/raster
+    kernels can't be partitioned by GSPMD, so each chip runs the full
+    per-tile program on its shard — multi-chip inference over ICI with
+    zero collectives in the hot path).  Requires
+    `tile_group % mesh.size == 0`.
 
     Returns the merged out dict with full-resolution images.
     """
@@ -352,6 +413,10 @@ def render_full_image(model, params, batch, *, level: int,
         rng = jax.random.PRNGKey(0)
     G = max(1, min(tile_group, s * s))
     assert (s * s) % G == 0, "tile_group must divide stride^2"
+    if mesh is not None:
+        assert (G * B) % mesh.size == 0, (
+            f"tile_group*B={G * B} must divide over the {mesh.size}-device "
+            "mesh")
 
     # one compiled tile-group program, reused for all stride offsets (the
     # strides are traced) — eager per-tile dispatch is pathological on
@@ -360,11 +425,14 @@ def render_full_image(model, params, batch, *, level: int,
     key = (id(model), level, H, W, B, G, sample_per_ray_c, sample_per_ray_f,
            n_views, sdf_chunk, compute_vis_map,
            batch.get("tar_img") is not None,
-           batch.get("tar_mask") is not None)
+           batch.get("tar_mask") is not None,
+           None if mesh is None else id(mesh))
     tile_fn = _TILE_FN_CACHE.get(key)
     if tile_fn is None:
         def _tile(params, gbatch, strides, rng, cached):
-            grids = strided_grid(G * B, H, W, level, strides)
+            # derive the tile count from strides so the same program works
+            # per-shard under shard_map (local count = G*B / mesh.size)
+            grids = strided_grid(strides.shape[0], H, W, level, strides)
             return render_patch(
                 model, params, gbatch, rng=rng, grids=grids,
                 out_h=out_h, out_w=out_w,
@@ -373,6 +441,8 @@ def render_full_image(model, params, batch, *, level: int,
                 fine=True, uniform=True, training=False,
                 n_views=n_views, sdf_chunk=sdf_chunk,
                 compute_vis_map=compute_vis_map, cached=cached)
+        if mesh is not None:
+            _tile = _lazy_sharded_tile(_tile, mesh)
 
         def _encode(params, batch):
             feat_geo, feat_tex = model.apply(params, batch["src_img"],
@@ -391,7 +461,8 @@ def render_full_image(model, params, batch, *, level: int,
                 v_xy01, v_z01)
             return feat_geo, feat_tex, vert_vis
 
-        tile_fn = (jax.jit(_tile), jax.jit(_encode))
+        tile_fn = (_tile if mesh is not None else jax.jit(_tile),
+                   jax.jit(_encode))
         _TILE_FN_CACHE[key] = tile_fn
     tile_fn, encode_fn = tile_fn
 
