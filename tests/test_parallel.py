@@ -100,6 +100,41 @@ def test_cli_multi_device_train(tmp_path):
     assert (tmp_path / "out" / cfg["expname"] / "config.json").exists()
 
 
+def test_cli_multi_device_run_val(tmp_path):
+    """Drive `train.py --run_val --num_gpus 2` end-to-end.
+
+    The eval CLI builds a mesh and hands it to run_test; at this tiny
+    image size (level=1, a single tile) run_test must detect the group is
+    not splittable and fall back to single-chip — the wiring and the
+    fallback are both exercised (sharded-path numerics are covered by
+    test_sharded_full_image_matches_single_device).
+    """
+    from vanerf_tpu import config as vconfig
+
+    cfg = vconfig.default_cfg()
+    m = cfg["models"]["VANeRF"]
+    m["train_out_h"] = m["train_out_w"] = 8
+    m["geo_args"]["n_downsample"] = 2
+    m["dr_kwargs"]["sample_per_ray_c"] = 8
+    m["dr_kwargs"]["sample_per_ray_f"] = 8
+    cfg["dataset"]["synthetic_cfg"] = {"H": 32, "W": 32, "subdiv": 1,
+                                       "n_frames": 2}
+    cfg["out_dir"] = str(tmp_path / "out")
+    cfg_path = tmp_path / "tiny.json"
+    cfg_path.write_text(json.dumps(cfg))
+
+    sys.path.insert(0, "/root/repo")
+    try:
+        import train as train_cli
+        train_cli.main(["--config", str(cfg_path), "--synthetic_data",
+                        "--run_val", "--num_gpus", "2",
+                        "--out_dir", str(tmp_path / "out")])
+    finally:
+        sys.path.remove("/root/repo")
+    ymls = list((tmp_path / "out" / cfg["expname"]).glob("test_*.yml"))
+    assert ymls, "run_val did not write a results YAML"
+
+
 def test_sharded_full_image_matches_single_device():
     """Multi-chip inference: render_full_image with a 4-device mesh shards
     the tile-group batch under shard_map and reproduces the single-device

@@ -106,7 +106,12 @@ def main(argv=None):
 
     if args.run_val:
         from vanerf_tpu.eval_loop import run_test
-        run_test(model, state, ds_test, cfg, save_dir, n_views=n_views)
+        val_mesh = None
+        if args.num_gpus != 1:
+            from vanerf_tpu.parallel import make_mesh
+            val_mesh = make_mesh(args.num_gpus)
+        run_test(model, state, ds_test, cfg, save_dir, n_views=n_views,
+                 mesh=val_mesh)
         return
 
     if args.synthetic_data:
