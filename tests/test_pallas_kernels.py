@@ -159,3 +159,23 @@ def test_blocked_relayout_roundtrip():
     x3 = np.asarray(x).reshape(P, S, 3)
     np.testing.assert_array_equal(
         np.asarray(xb)[:128].reshape(16, 8, 3), x3[:16, :8])
+
+
+def test_pallas_nearest_vertex_matches_xla():
+    """Brute nearest-vertex kernel vs the exact difference-form fallback.
+
+    idx matches exactly; d2 up to FMA-contraction rounding
+    (ref networks.py:27-33 pytorch3d knn_points).
+    """
+    from vanerf_tpu.ops.knn import nearest_vertex_d2
+    from vanerf_tpu.ops.knn_pallas import nearest_vertex_d2_pallas
+    rng = np.random.default_rng(7)
+    # mm-scale coords like InterHand world space; non-multiple-of-128
+    # vertex count exercises the padding
+    verts = jnp.asarray(rng.normal(size=(779, 3)).astype(np.float32) * 100)
+    pts = jnp.asarray(rng.normal(size=(1000, 3)).astype(np.float32) * 120)
+    ie, d2e = nearest_vertex_d2(pts, verts)          # exact fallback
+    ip, d2p = nearest_vertex_d2_pallas(pts, verts, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ip), np.asarray(ie))
+    np.testing.assert_allclose(np.asarray(d2p), np.asarray(d2e), rtol=1e-6,
+                               atol=1e-9)

@@ -45,8 +45,9 @@ def _kernel(pts_ref, verts_ref, idx_ref, d2_ref, *, n_chunks, chunk):
     d2_ref[:] = best
 
 
-@jax.jit
-def nearest_vertex_d2_pallas(query: jnp.ndarray, verts: jnp.ndarray):
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def nearest_vertex_d2_pallas(query: jnp.ndarray, verts: jnp.ndarray,
+                             interpret: bool = False):
     """(N, 3) queries x (V, 3) verts -> exact argmin indices + squared dists.
 
     The squared distance doubles as a certified upper bound on the
@@ -84,6 +85,7 @@ def nearest_vertex_d2_pallas(query: jnp.ndarray, verts: jnp.ndarray):
                                 memory_space=pltpu.VMEM)] * 2,
         out_shape=[jax.ShapeDtypeStruct((pts.shape[0], 1), jnp.int32),
                    jax.ShapeDtypeStruct((pts.shape[0], 1), jnp.float32)],
+        interpret=interpret,
     )(pts, vt)
     return idx[:N, 0], d2[:N, 0]
 

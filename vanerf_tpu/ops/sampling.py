@@ -61,27 +61,29 @@ def importance_sample(contrib: jnp.ndarray, z: jnp.ndarray, n_samples: int,
         u = jax.random.uniform(rng, cdf.shape[:-1] + (n_samples,),
                                dtype=z.dtype)
 
-    # vectorized right-searchsorted: count of cdf bins <= u.  The vmapped
-    # jnp.searchsorted lowers to a serial while-loop on TPU (~13 ms/step);
-    # the dense comparison is (B, N, S, D) elementwise and fuses away.
-    D = cdf.shape[-1]
-    idx_raw = jnp.sum((u[..., :, None] >= cdf[..., None, :]),
-                      axis=-1).astype(jnp.int32)
-    idx = jnp.clip(idx_raw, None, D - 1)
-
-    # ONE packed gather instead of four (TPU gathers are row-count bound):
-    # packed[j] = [cdf[max(j-1,0)], cdf[j], z[max(j-1,0)], z[j]].
-    packed = jnp.stack(
-        [jnp.concatenate([cdf[..., :1], cdf[..., :-1]], -1), cdf,
-         jnp.concatenate([z[..., :1], z[..., :-1]], -1), z], -1)  # (B,N,D,4)
-    g = jnp.take_along_axis(packed, idx[..., None], axis=-2)      # (B,N,S,4)
-    # idx_raw == D (u at/above the last cdf edge): the reference clips both
-    # prev and next to D-1, so prev falls back to the "next" slot there.
-    over = (idx_raw >= D)
-    cdf_prev = jnp.where(over, g[..., 1], g[..., 0])
-    cdf_next = g[..., 1]
-    z_prev = jnp.where(over, g[..., 3], g[..., 2])
-    z_next = g[..., 3]
+    # Gather-free inverse CDF.  The vmapped jnp.searchsorted lowers to a
+    # serial while-loop on TPU (~13 ms/step), and even a packed
+    # take_along_axis costs ~2.8 ms (TPU gathers are row-count bound at
+    # 262k rows).  Instead exploit that cdf and z are SORTED along the bin
+    # axis: the bracketing values are masked max/min reductions over the
+    # same dense (B, N, S, D) comparison tensor a vectorized searchsorted
+    # needs anyway — pure VPU work that XLA fuses, no gather at all.
+    #   prev = largest bin edge with cdf[d] <= u   (right-searchsorted)
+    #   next = smallest bin edge with cdf[d] >  u
+    le = u[..., :, None] >= cdf[..., None, :]                     # (B,N,S,D)
+    ninf = jnp.asarray(-jnp.inf, z.dtype)
+    pinf = jnp.asarray(jnp.inf, z.dtype)
+    cdf_b = cdf[..., None, :]
+    z_b = z[..., None, :]
+    cdf_prev = jnp.max(jnp.where(le, cdf_b, ninf), -1)
+    z_prev = jnp.max(jnp.where(le, z_b, ninf), -1)
+    cdf_next = jnp.min(jnp.where(le, pinf, cdf_b), -1)
+    z_next = jnp.min(jnp.where(le, pinf, z_b), -1)
+    # u at/above the last cdf edge: the reference clips both prev and next
+    # to the last slot (model.py:1449-1453); prev already holds it.
+    over = le[..., -1]
+    cdf_next = jnp.where(over, cdf_prev, cdf_next)
+    z_next = jnp.where(over, z_prev, z_next)
 
     num = u - cdf_prev
     den = cdf_next - cdf_prev
