@@ -55,24 +55,49 @@ def main():
         batch["kpt3d"], cam["KRT"], cam["extrin"], batch["znear"],
         batch["zfar"])
 
-    def one_patch(params, batch, rng):
+    def one_patch(params, batch, rng, cached):
         grids = mask_centered_grid(rng, batch["tar_mask"][..., 0],
                                    out_hw, out_hw)
         out = render_patch(
             model, params, batch, rng=rng, grids=grids,
             out_h=out_hw, out_w=out_hw, sample_per_ray_c=spc,
             sample_per_ray_f=spf, fine=True, training=False,
-            sdf_chunk=4096, compute_vis_map=False)
+            sdf_chunk=4096, compute_vis_map=False, cached=cached)
         return out["tex_fg_fine"]
+
+    def encode_once(params, batch):
+        # per-frame work (renderer.render_full_image._encode semantics,
+        # ref model.py:1047-1048 attach-once): conv encoders + source-view
+        # vertex visibility, shared by every tile of the frame
+        from vanerf_tpu.ops.rasterize import vertex_visibility
+        feat_geo, feat_tex = model.apply(params, batch["src_img"],
+                                         method=model.encode)
+        src_krt_b = batch["src_krt"].reshape(B, 1, 4, 4)[:, 0]
+        verts = batch["verts"]
+        vh = (verts @ jnp.swapaxes(src_krt_b[:, :3, :3], -1, -2)
+              + src_krt_b[:, None, :3, 3])
+        v_z = vh[..., 2:3]
+        v_xy = vh[..., :2] / (v_z + 1e-8)
+        v_xy01 = jnp.stack([v_xy[..., 0] / (W - 1.0),
+                            v_xy[..., 1] / (H - 1.0)], -1)
+        v_z01 = (v_z - batch["znear"]) / (batch["zfar"] - batch["znear"])
+        vert_vis = jax.vmap(
+            lambda xy, vz: vertex_visibility(xy, vz, batch["faces"]))(
+            v_xy01, v_z01)
+        return feat_geo, feat_tex, vert_vis
 
     # G patches per dispatch — the serving shape (full-image eval renders
     # 16 strided tiles per frame, see renderer.render_full_image's
     # tile_group); lax.map keeps peak memory at one patch while amortizing
     # the per-call host->device dispatch overhead of remote transports.
+    # Encoders + vertex visibility run once per dispatch, as one frame's
+    # tiles share them in the eval path.
     G = 8
 
     def run(params, batch, rngs):
-        return jax.lax.map(lambda k: one_patch(params, batch, k), rngs)
+        cached = encode_once(params, batch)
+        return jax.lax.map(
+            lambda k: one_patch(params, batch, k, cached), rngs)
 
     run_j = jax.jit(run)
     keys = jax.random.split(rng, G)
