@@ -24,6 +24,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dtype", default=None)
     ap.add_argument("--top", type=int, default=30)
+    ap.add_argument("--cached", action="store_true",
+                    help="precompute per-frame encoders/vert-vis (serving shape)")
     ap.add_argument("--group", action="store_true",
                     help="group by op family instead of individual op")
     args = ap.parse_args()
@@ -55,13 +57,40 @@ def main():
         batch["src_mask"], batch["verts"], jnp.ones((B, V2, 1)),
         jnp.ones((B, n, 1)), jnp.zeros((B, n, 1)), batch["kpt3d"], n))(rng)
 
+    cached = None
+    if args.cached:
+        # per-frame encoders + vertex visibility precomputed (serving
+        # shape: render_full_image shares them across a frame's tiles)
+        from vanerf_tpu.ops.rasterize import vertex_visibility
+
+        def enc(params, batch):
+            feat_geo, feat_tex = model.apply(params, batch["src_img"],
+                                             method=model.encode)
+            src_krt_b = batch["src_krt"].reshape(B, 1, 4, 4)[:, 0]
+            verts = batch["verts"]
+            vh = (verts @ jnp.swapaxes(src_krt_b[:, :3, :3], -1, -2)
+                  + src_krt_b[:, None, :3, 3])
+            v_z = vh[..., 2:3]
+            v_xy = vh[..., :2] / (v_z + 1e-8)
+            v_xy01 = jnp.stack([v_xy[..., 0] / (W - 1.0),
+                                v_xy[..., 1] / (H - 1.0)], -1)
+            v_z01 = (v_z - batch["znear"]) / (batch["zfar"] - batch["znear"])
+            vert_vis = jax.vmap(
+                lambda xy, vz: vertex_visibility(xy, vz, batch["faces"]))(
+                v_xy01, v_z01)
+            return feat_geo, feat_tex, vert_vis
+
+        cached = jax.jit(enc)(params, batch)
+        jax.block_until_ready(cached)
+
     def run(params, batch, rng):
         grids = mask_centered_grid(rng, batch["tar_mask"][..., 0],
                                    out_hw, out_hw)
         out = render_patch(model, params, batch, rng=rng, grids=grids,
                            out_h=out_hw, out_w=out_hw, sample_per_ray_c=spc,
                            sample_per_ray_f=spf, fine=True, training=False,
-                           sdf_chunk=4096, compute_vis_map=False)
+                           sdf_chunk=4096, compute_vis_map=False,
+                           cached=cached)
         return out["tex_fg_fine"]
 
     run_j = jax.jit(run)

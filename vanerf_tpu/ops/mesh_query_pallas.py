@@ -19,14 +19,16 @@ solid angle (all three corners coincide -> numerator 0).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_P = 128          # points per grid step
-FACE_CHUNK = 512      # faces per inner iteration
+# tunable granularity (import-time env knobs for perf sweeps)
+TILE_P = int(os.environ.get("VANERF_MESH_TILE_P", "128"))
+FACE_CHUNK = 512      # faces per inner iteration (brute kernels)
 
 _PI = 3.14159265358979
 
@@ -623,7 +625,7 @@ def _ray_constants(tri_f: jnp.ndarray, pad_f: int) -> jnp.ndarray:
 # Effectiveness depends on the CALLER passing spatially coherent point
 # order (e.g. ray-block x sample-block tiles); correctness does not.
 
-CULL_CHUNK = 128
+CULL_CHUNK = int(os.environ.get("VANERF_CULL_CHUNK", "128"))
 
 
 def _ray_constants_folded(tri_f: jnp.ndarray, pad_f: int) -> jnp.ndarray:
@@ -764,71 +766,86 @@ def _kernel_vis_ray_culled(mask_ref, pts_ref, tri_ref, vis_ref, wtri_ref,
     qvis_ref[:] = jnp.zeros((TILE_P, 1), jnp.float32)
     wind_ref[:] = jnp.zeros((TILE_P, 1), jnp.float32)
 
-    for c in range(n_chunks):
-        bits = mask_ref[0, c]
+    # Compacted visited-chunk lists (see _cull_lists): iterate exactly the
+    # chunks this tile needs via dynamic slices.  A per-chunk scalar
+    # branch (`pl.when` over a bit mask) costs ~0.4 us per (tile, chunk)
+    # slot even when skipped — at 2k tiles x 20+ chunks that dwarfs the
+    # skipped work, and it gets *worse* with finer chunks; dynamic
+    # trip-count loops over the compacted lists pay only for visits.
+    # Ascending list order preserves the running-argmin tie-breaking, so
+    # results are bit-identical to the dense-mask loop.
+    n_d = mask_ref[0, 126]
+    n_w = mask_ref[0, 125]
+
+    def _dist(j, carry):
+        c = mask_ref[0, j]
         sl = pl.ds(c * CULL_CHUNK, CULL_CHUNK)
+        ax = tri_ref[0:1, sl]
+        ay = tri_ref[1:2, sl]
+        az = tri_ref[2:3, sl]
+        bx = tri_ref[3:4, sl]
+        by = tri_ref[4:5, sl]
+        bz = tri_ref[5:6, sl]
+        cx = tri_ref[6:7, sl]
+        cy = tri_ref[7:8, sl]
+        cz = tri_ref[8:9, sl]
+        visa = vis_ref[0:1, sl]
+        visb = vis_ref[1:2, sl]
+        visc = vis_ref[2:3, sl]
+        d2_old = d2_ref[:]
+        d2_new, idx_new, qv_sel = _distance_chunk_vis_fast(
+            px, py, pz, pp, ax, ay, az, bx, by, bz, cx, cy, cz,
+            visa, visb, visc, d2_old, idx_ref[:], c * CULL_CHUNK)
+        better = d2_new < d2_old
+        qvis_ref[:] = jnp.where(better, qv_sel, qvis_ref[:])
+        d2_ref[:] = d2_new
+        idx_ref[:] = idx_new
+        return carry
 
-        @pl.when((bits & 1) != 0)
-        def _dist():
-            ax = tri_ref[0:1, sl]
-            ay = tri_ref[1:2, sl]
-            az = tri_ref[2:3, sl]
-            bx = tri_ref[3:4, sl]
-            by = tri_ref[4:5, sl]
-            bz = tri_ref[5:6, sl]
-            cx = tri_ref[6:7, sl]
-            cy = tri_ref[7:8, sl]
-            cz = tri_ref[8:9, sl]
-            visa = vis_ref[0:1, sl]
-            visb = vis_ref[1:2, sl]
-            visc = vis_ref[2:3, sl]
-            d2_old = d2_ref[:]
-            d2_new, idx_new, qv_sel = _distance_chunk_vis_fast(
-                px, py, pz, pp, ax, ay, az, bx, by, bz, cx, cy, cz,
-                visa, visb, visc, d2_old, idx_ref[:], c * CULL_CHUNK)
-            better = d2_new < d2_old
-            qvis_ref[:] = jnp.where(better, qv_sel, qvis_ref[:])
-            d2_ref[:] = d2_new
-            idx_ref[:] = idx_new
+    jax.lax.fori_loop(0, n_d, _dist, 0, unroll=False)
 
-        @pl.when((bits & 2) != 0)
-        def _wind():
-            # Crossing test with fully constant-folded per-face rows:
-            #   u = q.pv (pv = d x e2), v = q.w2 (w2 = e1 x d),
-            #   t = q.n  (n = e1 x e2), q = p - a
-            # — no per-pair cross product.  The per-tile scalar s = +-1
-            # selects the ray direction +-d: flipping d negates u, v and
-            # det, which leaves every det-product unchanged except
-            # t*det (and the crossing sign), so -d crossings are the
-            # t*det < 0 half-line of the SAME arithmetic.
-            s = 1.0 - 2.0 * (mask_ref[0, 127]).astype(jnp.float32)
-            ax = tri_ref[0:1, sl]
-            ay = tri_ref[1:2, sl]
-            az = tri_ref[2:3, sl]
-            pvx = wtri_ref[0:1, sl]
-            pvy = wtri_ref[1:2, sl]
-            pvz = wtri_ref[2:3, sl]
-            w2x = wtri_ref[3:4, sl]
-            w2y = wtri_ref[4:5, sl]
-            w2z = wtri_ref[5:6, sl]
-            nx = wtri_ref[6:7, sl]
-            ny = wtri_ref[7:8, sl]
-            nz = wtri_ref[8:9, sl]
-            det = wtri_ref[9:10, sl]
+    def _wind(j, carry):
+        c = mask_ref[0, 64 + j]
+        sl = pl.ds(c * CULL_CHUNK, CULL_CHUNK)
+        # Crossing test with fully constant-folded per-face rows:
+        #   u = q.pv (pv = d x e2), v = q.w2 (w2 = e1 x d),
+        #   t = q.n  (n = e1 x e2), q = p - a
+        # — no per-pair cross product.  The per-tile scalar s = +-1
+        # selects the ray direction +-d: flipping d negates u, v and
+        # det, which leaves every det-product unchanged except
+        # t*det (and the crossing sign), so -d crossings are the
+        # t*det < 0 half-line of the SAME arithmetic.
+        s = 1.0 - 2.0 * (mask_ref[0, 127]).astype(jnp.float32)
+        ax = tri_ref[0:1, sl]
+        ay = tri_ref[1:2, sl]
+        az = tri_ref[2:3, sl]
+        pvx = wtri_ref[0:1, sl]
+        pvy = wtri_ref[1:2, sl]
+        pvz = wtri_ref[2:3, sl]
+        w2x = wtri_ref[3:4, sl]
+        w2y = wtri_ref[4:5, sl]
+        w2z = wtri_ref[5:6, sl]
+        nx = wtri_ref[6:7, sl]
+        ny = wtri_ref[7:8, sl]
+        nz = wtri_ref[8:9, sl]
+        det = wtri_ref[9:10, sl]
 
-            qx = px - ax
-            qy = py - ay
-            qz = pz - az
-            u_num = qx * pvx + qy * pvy + qz * pvz
-            v_num = qx * w2x + qy * w2y + qz * w2z
-            t_num = qx * nx + qy * ny + qz * nz
+        qx = px - ax
+        qy = py - ay
+        qz = pz - az
+        u_num = qx * pvx + qy * pvy + qz * pvz
+        v_num = qx * w2x + qy * w2y + qz * w2z
+        t_num = qx * nx + qy * ny + qz * nz
 
-            hitp = ((u_num * det >= 0) & (v_num * det >= 0)
-                    & ((u_num + v_num - det) * det <= 0)
-                    & (s * (t_num * det) > 0))
-            sign = jnp.where(det > 0, -s, s)
-            wind_ref[:] = wind_ref[:] + jnp.sum(
-                jnp.where(hitp, sign, 0.0), axis=1, keepdims=True)
+        hitp = ((u_num * det >= 0) & (v_num * det >= 0)
+                & ((u_num + v_num - det) * det <= 0)
+                & (s * (t_num * det) > 0))
+        sign = jnp.where(det > 0, -s, s)
+        wind_ref[:] = wind_ref[:] + jnp.sum(
+            jnp.where(hitp, sign, 0.0), axis=1, keepdims=True)
+        return carry
+
+    jax.lax.fori_loop(0, n_w, _wind, 0, unroll=False)
 
 
 def _cull_masks(pts_pad: jnp.ndarray, ub_pad: jnp.ndarray,
@@ -953,11 +970,24 @@ def point_mesh_query_vis_culled(points: jnp.ndarray, triangles: jnp.ndarray,
     grid = (pts.shape[0] // TILE_P,)
 
     mask, use_neg = _cull_masks(pts, ub, tri)                 # (T, C), (T,)
-    # SMEM blocks must be (1, 128)-shaped: pad the chunk axis to 128
-    # (slot 127 carries the tile's ray-direction flag) and flatten so
-    # tile i reads columns [128i, 128(i+1)).
-    assert n_chunks <= 127, "face count beyond the 128-chunk mask layout"
-    maskf = jnp.pad(mask, ((0, 0), (0, 128 - n_chunks)))
+    # Compacted per-tile chunk lists in a (1, 128)-shaped SMEM block per
+    # tile: slots [0, n_d) = visited distance-chunk ids (ascending),
+    # slots [64, 64+n_w) = visited winding-chunk ids, slot 126 = n_d,
+    # 125 = n_w, 127 = the tile's ray-direction flag.  The kernel loops
+    # with dynamic trip counts over exactly these lists.
+    assert n_chunks <= 61, "face count beyond the 128-slot list layout"
+    T = mask.shape[0]
+    iota = jnp.arange(n_chunks, dtype=jnp.int32)[None]
+    need_d = (mask & 1).astype(bool)
+    need_w = (mask & 2).astype(bool)
+    # sort pushes the non-visited sentinel (n_chunks) past the count
+    dlist = jnp.sort(jnp.where(need_d, iota, n_chunks), axis=1)
+    wlist = jnp.sort(jnp.where(need_w, iota, n_chunks), axis=1)
+    maskf = jnp.zeros((T, 128), jnp.int32)
+    maskf = maskf.at[:, :n_chunks].set(dlist)
+    maskf = maskf.at[:, 64:64 + n_chunks].set(wlist)
+    maskf = maskf.at[:, 126].set(need_d.sum(1).astype(jnp.int32))
+    maskf = maskf.at[:, 125].set(need_w.sum(1).astype(jnp.int32))
     maskf = maskf.at[:, 127].set(use_neg)
     maskf = maskf.reshape(1, -1)                              # (1, T*128)
 
