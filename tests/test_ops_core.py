@@ -213,3 +213,63 @@ def test_render_vis_map_background_is_one():
     assert vmap[0, 0] == 1.0                # background
     assert vmap[32, 32] == 1.0              # visible mesh
     assert 0.02 < (vmap < 0.5).mean() < 0.5 or vmap.min() == 1.0
+
+
+# --------------------------- sort_by_key VJP --------------------------------
+
+def test_sort_by_key_matches_lax_sort_and_grad(rng):
+    from vanerf_tpu.ops.sorting import sort_by_key
+
+    key = rng.normal(size=(2, 5, 16)).astype(np.float32)
+    p1 = rng.normal(size=(2, 5, 16)).astype(np.float32)
+    p2 = rng.normal(size=(2, 5, 16)).astype(np.float32)
+
+    ref = jax.lax.sort((jnp.asarray(key), jnp.asarray(p1), jnp.asarray(p2)),
+                       dimension=-1, num_keys=1)
+    out = sort_by_key(jnp.asarray(key), jnp.asarray(p1), jnp.asarray(p2))
+    for r, o in zip(ref, out):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(o))
+
+    # gradient parity with XLA's builtin sort transpose, through a mix of
+    # used/unused outputs (unused -> zero cotangent path)
+    def loss_ref(k, a, b):
+        ks, as_, bs = jax.lax.sort((k, a, b), dimension=-1, num_keys=1)
+        return jnp.sum(ks * 2.0 + as_ * as_ + jnp.sin(bs))
+
+    def loss_new(k, a, b):
+        ks, as_, bs = sort_by_key(k, a, b)
+        return jnp.sum(ks * 2.0 + as_ * as_ + jnp.sin(bs))
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(
+        jnp.asarray(key), jnp.asarray(p1), jnp.asarray(p2))
+    g_new = jax.grad(loss_new, argnums=(0, 1, 2))(
+        jnp.asarray(key), jnp.asarray(p1), jnp.asarray(p2))
+    for r, o in zip(g_ref, g_new):
+        np.testing.assert_allclose(np.asarray(r), np.asarray(o),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_sort_by_key_grad_with_duplicate_keys():
+    """Ties: cotangents must follow the exact stable forward permutation —
+    total gradient mass is preserved and sum-invariant losses agree with
+    the builtin transpose."""
+    from vanerf_tpu.ops.sorting import sort_by_key
+
+    key = jnp.asarray([[3.0, 1.0, 3.0, 1.0, 2.0]])
+    val = jnp.asarray([[10.0, 20.0, 30.0, 40.0, 50.0]])
+    w = jnp.asarray([1.0, 2.0, 3.0, 4.0, 5.0])
+
+    def loss(k, v):
+        ks, vs = sort_by_key(k, v)
+        return jnp.sum(w * (vs + ks))
+
+    g_new = jax.grad(loss, argnums=(0, 1))(key, val)
+    # each input element receives exactly one weight (a permutation)
+    np.testing.assert_allclose(np.sort(np.asarray(g_new[1]).ravel()),
+                               np.sort(np.asarray(w)))
+    # stable order: values at tied keys keep input order -> perm is
+    # [1,3,4,0,2]; grads route w back through it
+    np.testing.assert_allclose(np.asarray(g_new[1]).ravel(),
+                               [4.0, 1.0, 5.0, 2.0, 3.0])
+    np.testing.assert_allclose(np.asarray(g_new[0]).ravel(),
+                               [4.0, 1.0, 5.0, 2.0, 3.0])
