@@ -55,7 +55,10 @@ def grid_sample_2d(feat: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
 
     packed = pack_corners(feat).reshape(H * W, 4 * C)
     idx = y0.astype(jnp.int32) * W + x0.astype(jnp.int32)
-    g = jnp.take(packed, idx, axis=0)                       # (N, 4C)
+    # idx is in-bounds by construction (x0/y0 clipped above); the promise
+    # removes jnp.take's out-of-bounds fill select — a full-row
+    # (N, 4C) select fusion worth ~0.4 ms per 262k-row gather on v5e.
+    g = packed.at[idx].get(mode="promise_in_bounds")        # (N, 4C)
     f00, f01, f10, f11 = g[:, :C], g[:, C:2 * C], g[:, 2 * C:3 * C], g[:, 3 * C:]
     # keep the lerp in the map's dtype: with bf16 feature maps the gather
     # and arithmetic stay bf16 (half the HBM traffic) instead of promoting

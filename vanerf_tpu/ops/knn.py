@@ -121,7 +121,9 @@ def knn_gather_1(query: jnp.ndarray, verts: jnp.ndarray,
         [vert_feat, vert_vis.astype(vert_feat.dtype)], -1)
     packed_both = jnp.concatenate(
         [packed, jnp.roll(packed, -num_v, axis=1)], -1)    # (B, V, 2(C+1))
-    take = jax.vmap(lambda a, i: jnp.take(a, i, axis=0))
+    # argmin indices are in-bounds by construction; the promise removes
+    # jnp.take's out-of-bounds fill select on the gathered rows.
+    take = jax.vmap(lambda a, i: a.at[i].get(mode="promise_in_bounds"))
     g2 = take(packed_both, idx)
     C1 = packed.shape[-1]
     g, g_toh = g2[..., :C1], g2[..., C1:]
