@@ -289,14 +289,24 @@ class VANeRF(nn.Module):
         if not isinstance(y, (list, tuple)):
             y = [y]
         y = [p.reshape(B, n_views, N, -1).astype(cdt) for p in y]
-        if os.environ.get("VANERF_PE_CONCAT", "1") == "1" and len(y) > 1:
+        pe_mode = os.environ.get("VANERF_PE_CONCAT", "1")
+        if pe_mode != "0" and len(y) > 1:
             # One materialized bf16 concat + a single first-layer matmul
             # beats the 7-part virtual-concat accumulate chain (each part
             # step re-reads the 128-ch accumulator + an f32 42-ch part:
             # ~0.4 ms x 7 per pass on v5e; the concat fuses the PE
             # elementwise chain into one bf16 write). Measured: 11.87M
             # vs 11.46M ray-samples/s/chip on the production patch.
-            y = [jnp.concatenate(y, -1)]
+            if pe_mode == "2":
+                # concat in 2-D: XLA gives the 4-D concat an N-minor
+                # layout (strided 294-wide writes); the flat (BVN, C)
+                # concat keeps the standard row-major layout and the
+                # reshape back is a bitcast.
+                wide = jnp.concatenate(
+                    [p.reshape(-1, p.shape[-1]) for p in y], -1)
+                y = [wide.reshape(B, n_views, N, wide.shape[-1])]
+            else:
+                y = [jnp.concatenate(y, -1)]
 
         # project mesh vertices into the source views (model.py:845-853)
         vert_rep = (jnp.repeat(verts, n_views, axis=0)
