@@ -161,6 +161,90 @@ def test_blocked_relayout_roundtrip():
         np.asarray(xb)[:128].reshape(16, 8, 3), x3[:16, :8])
 
 
+def test_pallas_culled_T_bit_identical(mesh_and_points):
+    """The transposed-I/O culled kernel is the same arithmetic behind a
+    packed (3, N)/(N,) HBM interface — results must be bit-identical."""
+    from vanerf_tpu.ops.mesh_query_pallas import (
+        point_mesh_query_vis_culled, point_mesh_query_vis_culled_T)
+    tri, pts = mesh_and_points
+    F = tri.shape[0]
+    rng = np.random.default_rng(1)
+    face_vis = jnp.asarray(rng.random((F, 3)).astype(np.float32))
+    corners = np.asarray(tri).reshape(-1, 3)
+    d2v = ((np.asarray(pts)[:, None] - corners[None]) ** 2).sum(-1).min(-1)
+    ub = jnp.asarray(d2v.astype(np.float32))
+
+    d2a, ia, wa, qa = point_mesh_query_vis_culled(pts, tri, face_vis, ub,
+                                                  interpret=True)
+    d2b, ib, wb, qb = point_mesh_query_vis_culled_T(
+        jnp.transpose(pts, (1, 0)), tri, face_vis, ub, interpret=True)
+    np.testing.assert_array_equal(np.asarray(d2b), np.asarray(d2a))
+    np.testing.assert_array_equal(np.asarray(ib), np.asarray(ia))
+    np.testing.assert_array_equal(np.asarray(wb), np.asarray(wa))
+    np.testing.assert_array_equal(np.asarray(qb), np.asarray(qa))
+
+
+def test_cal_vis_sdf_prepared_T_matches(mesh_and_points):
+    """Transposed wrapper (blocking + centering in coordinate-major form)
+    must match the row-major wrapper bit-for-bit on the pallas path."""
+    import os
+    from vanerf_tpu.ops import mesh_query as mq
+    tri, pts = mesh_and_points
+    # build a tiny mesh dict via prepare on fake verts/faces: reuse the
+    # triangle soup as (F*3, 3) verts with trivial faces
+    F = tri.shape[0]
+    verts = jnp.asarray(np.asarray(tri).reshape(-1, 3))
+    faces = jnp.arange(F * 3, dtype=jnp.int32).reshape(F, 3)
+    vert_vis = jnp.asarray(
+        (np.random.default_rng(3).random((F * 3, 1)) > 0.5)
+        .astype(np.float32))
+    N = pts.shape[0]
+    S = 8
+    assert N % S == 0
+    corners = np.asarray(tri).reshape(-1, 3)
+    d2v = ((np.asarray(pts)[:, None] - corners[None]) ** 2).sum(-1).min(-1)
+    ub = jnp.asarray(d2v.astype(np.float32))
+
+    os.environ["VANERF_MESH_BACKEND"] = "pallas"
+    try:
+        # interpret mode rides through the module-level jit via the
+        # platform: on CPU the pallas_call interprets automatically only
+        # under interpret=True, so call the kernels directly through the
+        # wrappers with monkeypatched interpret flags
+        import vanerf_tpu.ops.mesh_query_pallas as mqp
+        orig, orig_T = (mqp.point_mesh_query_vis_culled,
+                        mqp.point_mesh_query_vis_culled_T)
+        mqp.point_mesh_query_vis_culled = lambda *a, **k: orig(
+            *a, **{**k, "interpret": True})
+        mqp.point_mesh_query_vis_culled_T = lambda *a, **k: orig_T(
+            *a, **{**k, "interpret": True})
+        try:
+            mesh = mq.prepare_culled_mesh(verts, faces, vert_vis)
+            sdf_a, qv_a = mq.cal_vis_sdf_prepared(mesh, pts, ub, n_samples=S)
+            sdf_b, qv_b = mq.cal_vis_sdf_prepared_T(
+                mesh, jnp.transpose(pts, (1, 0)), ub, n_samples=S)
+        finally:
+            mqp.point_mesh_query_vis_culled = orig
+            mqp.point_mesh_query_vis_culled_T = orig_T
+    finally:
+        del os.environ["VANERF_MESH_BACKEND"]
+    np.testing.assert_array_equal(np.asarray(sdf_b), np.asarray(sdf_a))
+    np.testing.assert_array_equal(np.asarray(qv_b), np.asarray(qv_a))
+
+
+def test_pallas_nearest_vertex_T_bit_identical():
+    from vanerf_tpu.ops.knn_pallas import (nearest_vertex_d2_pallas,
+                                           nearest_vertex_d2_pallas_T)
+    rng = np.random.default_rng(11)
+    verts = jnp.asarray(rng.normal(size=(1558, 3)).astype(np.float32) * 100)
+    pts = jnp.asarray(rng.normal(size=(1000, 3)).astype(np.float32) * 120)
+    ia, d2a = nearest_vertex_d2_pallas(pts, verts, interpret=True)
+    ib, d2b = nearest_vertex_d2_pallas_T(jnp.transpose(pts, (1, 0)), verts,
+                                         interpret=True)
+    np.testing.assert_array_equal(np.asarray(ib), np.asarray(ia))
+    np.testing.assert_array_equal(np.asarray(d2b), np.asarray(d2a))
+
+
 def test_pallas_nearest_vertex_matches_xla():
     """Brute nearest-vertex kernel vs the exact difference-form fallback.
 

@@ -53,6 +53,27 @@ def nearest_vertex_d2(query: jnp.ndarray, verts: jnp.ndarray,
     return idx.reshape(-1)[:N], d2.reshape(-1)[:N]
 
 
+def nearest_vertex_d2_T(query_T: jnp.ndarray, verts: jnp.ndarray,
+                        chunk: int = 4096):
+    """Transposed-input :func:`nearest_vertex_d2`.
+
+    Args:
+      query_T: (3, N) query coordinates — the packed TPU layout ((N, 3)
+        pads its 3-wide minor dim to 128 lanes, a 42x HBM blowup).
+    Returns:
+      idx (N,) int32, d2 (N,) float32 — packed (N,) layouts.
+    """
+    import os
+    backend = os.environ.get("VANERF_MESH_BACKEND", "auto")
+    use_pallas = (backend == "pallas"
+                  or (backend == "auto" and jax.default_backend() == "tpu"))
+    if use_pallas:
+        from .knn_pallas import nearest_vertex_d2_pallas_T
+        return nearest_vertex_d2_pallas_T(query_T, verts)
+    return nearest_vertex_d2(jnp.transpose(query_T, (1, 0)), verts,
+                             chunk=chunk)
+
+
 def nearest_vertex(query: jnp.ndarray, verts: jnp.ndarray,
                    chunk: int = 4096) -> jnp.ndarray:
     """Index of the nearest vertex for each query point.

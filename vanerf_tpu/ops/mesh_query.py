@@ -380,6 +380,64 @@ def cal_vis_sdf_prepared(mesh: dict, points: jnp.ndarray,
     return dist * sign, qvis
 
 
+def cal_vis_sdf_prepared_T(mesh: dict, points_T: jnp.ndarray,
+                           ub_d2: jnp.ndarray,
+                           n_samples: int | None = None, chunk: int = 2048):
+    """Transposed-input :func:`cal_vis_sdf_prepared`.
+
+    Takes (3, N) points (the packed TPU layout — see
+    ``point_mesh_query_vis_culled_T``) and keeps every relayout
+    (centering, ray/sample blocking, output unblocking) in packed
+    coordinate-major form.  Bit-identical results.
+    """
+    if not _use_pallas():
+        return cal_vis_sdf_fast(mesh["verts"], mesh["faces"],
+                                jnp.transpose(points_T, (1, 0)),
+                                mesh["vert_vis"], chunk=chunk)
+    from .mesh_query_pallas import point_mesh_query_vis_culled_T
+    points_T = points_T - mesh["center"][:, None]
+    N = points_T.shape[1]
+    blocks = None
+    if n_samples is not None and N % n_samples == 0:
+        blocks = blocked_order(N // n_samples, n_samples)
+    if blocks is not None:
+        rb, sb = blocks
+        P = N // n_samples
+        # blocked relayout along the packed point axis: (3, N) -> (3, N)
+        pts_b = _to_blocked_ax1(points_T, P, n_samples, rb, sb)
+        ub_b = to_blocked(ub_d2, P, n_samples, rb, sb)
+    else:
+        pts_b, ub_b = points_T, ub_d2
+
+    d2, _idx, w, qv = point_mesh_query_vis_culled_T(
+        pts_b, None, None, ub_b, prep=mesh["prep"])
+
+    if blocks is not None:
+        packed = jnp.stack([d2, w, qv], 0)                    # (3, N) packed
+        packed = _from_blocked_ax1(packed, P, n_samples, rb, sb)
+        d2, w, qv = packed[0], packed[1], packed[2]
+    dist = jnp.sqrt(d2 + 1e-6)
+    sign = jnp.where(w > 0.5, -1.0, 1.0)
+    qvis = (qv >= 1e-1).astype(points_T.dtype)[:, None]
+    return dist * sign, qvis
+
+
+def _to_blocked_ax1(x: jnp.ndarray, P: int, S: int, rb: int, sb: int):
+    """:func:`to_blocked` along axis 1 of a (C, N=P*S) array."""
+    C = x.shape[0]
+    x = x.reshape(C, P // rb, rb, S // sb, sb)
+    x = jnp.swapaxes(x, 2, 3)
+    return x.reshape(C, P * S)
+
+
+def _from_blocked_ax1(x: jnp.ndarray, P: int, S: int, rb: int, sb: int):
+    """Inverse of :func:`_to_blocked_ax1`."""
+    C = x.shape[0]
+    x = x.reshape(C, P // rb, S // sb, rb, sb)
+    x = jnp.swapaxes(x, 2, 3)
+    return x.reshape(C, P * S)
+
+
 def cal_vis_sdf_cull(verts: jnp.ndarray, faces: jnp.ndarray,
                      points: jnp.ndarray, vert_vis: jnp.ndarray,
                      ub_d2: jnp.ndarray, n_samples: int | None = None,

@@ -860,12 +860,16 @@ def _cull_masks(pts_pad: jnp.ndarray, ub_pad: jnp.ndarray,
       (T, C) int32 bit mask.
     """
     T = pts_pad.shape[0] // TILE_P
-    C = tri_pad_T.shape[1] // CULL_CHUNK
-
     ptile = pts_pad.reshape(T, TILE_P, 3)
     tmin = ptile.min(1)
     tmax = ptile.max(1)                                       # (T, 3)
     ub_t = ub_pad.reshape(T, TILE_P).max(1)                   # (T,)
+    return _cull_masks_from_boxes(tmin, tmax, ub_t, tri_pad_T)
+
+
+def _cull_masks_from_boxes(tmin, tmax, ub_t, tri_pad_T):
+    """Shared tail of :func:`_cull_masks` given per-tile boxes/bounds."""
+    C = tri_pad_T.shape[1] // CULL_CHUNK
 
     corners = tri_pad_T.T.reshape(C, CULL_CHUNK, 3, 3)
     cmin = corners.min((1, 2))                                # (C, 3)
@@ -1016,3 +1020,177 @@ def point_mesh_query_vis_culled(points: jnp.ndarray, triangles: jnp.ndarray,
         out_specs=out_specs, out_shape=out_shape, interpret=interpret,
     )(maskf, pts, tri, vis, wtri)
     return d2[:N, 0], idx[:N, 0], wind[:N, 0], qvis[:N, 0]
+
+
+# ---------------------------------------------------------------------------
+# transposed-I/O culled variant: points ride the 128-lane axis end to end
+# ---------------------------------------------------------------------------
+#
+# A (N, 3) f32 array tiles as T(8,128) on TPU — the 3-wide minor dim pads
+# to 128 lanes (42x HBM blowup), and each (N, 1) output pads the same way
+# (128x); the producer/consumer fusions around the kernel then move
+# ~134 MB per tensor where 1-3 MB suffice.  This variant takes (3, N)
+# points and writes (1, N) packed outputs; boundary transposes inside the
+# kernel (a few vregs per tile) feed the UNCHANGED chunk math, so results
+# are bit-identical to ``point_mesh_query_vis_culled``.
+
+
+def _kernel_vis_ray_culled_T(mask_ref, pts_ref, tri_ref, vis_ref, wtri_ref,
+                             d2_ref, idx_ref, wind_ref, qvis_ref, *,
+                             n_chunks):
+    p = jnp.transpose(pts_ref[:], (1, 0))     # (3, TILE_P) -> (TILE_P, 3)
+    px = p[:, 0:1]
+    py = p[:, 1:2]
+    pz = p[:, 2:3]
+    pp = px * px + py * py + pz * pz
+
+    # running state as fori_loop carries (registers), transposed into the
+    # (1, TILE_P) output rows once at the end
+    d2_0 = jnp.full((TILE_P, 1), jnp.inf, jnp.float32)
+    idx_0 = jnp.zeros((TILE_P, 1), jnp.int32)
+    qvis_0 = jnp.zeros((TILE_P, 1), jnp.float32)
+    wind_0 = jnp.zeros((TILE_P, 1), jnp.float32)
+
+    n_d = mask_ref[0, 126]
+    n_w = mask_ref[0, 125]
+
+    def _dist(j, carry):
+        d2_old, idx_old, qv_old = carry
+        c = mask_ref[0, j]
+        sl = pl.ds(c * CULL_CHUNK, CULL_CHUNK)
+        ax = tri_ref[0:1, sl]
+        ay = tri_ref[1:2, sl]
+        az = tri_ref[2:3, sl]
+        bx = tri_ref[3:4, sl]
+        by = tri_ref[4:5, sl]
+        bz = tri_ref[5:6, sl]
+        cx = tri_ref[6:7, sl]
+        cy = tri_ref[7:8, sl]
+        cz = tri_ref[8:9, sl]
+        visa = vis_ref[0:1, sl]
+        visb = vis_ref[1:2, sl]
+        visc = vis_ref[2:3, sl]
+        d2_new, idx_new, qv_sel = _distance_chunk_vis_fast(
+            px, py, pz, pp, ax, ay, az, bx, by, bz, cx, cy, cz,
+            visa, visb, visc, d2_old, idx_old, c * CULL_CHUNK)
+        better = d2_new < d2_old
+        return (d2_new, idx_new, jnp.where(better, qv_sel, qv_old))
+
+    d2_f, idx_f, qvis_f = jax.lax.fori_loop(
+        0, n_d, _dist, (d2_0, idx_0, qvis_0), unroll=False)
+
+    def _wind(j, wind_c):
+        c = mask_ref[0, 64 + j]
+        sl = pl.ds(c * CULL_CHUNK, CULL_CHUNK)
+        # same constant-folded crossing test as _kernel_vis_ray_culled
+        s = 1.0 - 2.0 * (mask_ref[0, 127]).astype(jnp.float32)
+        ax = tri_ref[0:1, sl]
+        ay = tri_ref[1:2, sl]
+        az = tri_ref[2:3, sl]
+        pvx = wtri_ref[0:1, sl]
+        pvy = wtri_ref[1:2, sl]
+        pvz = wtri_ref[2:3, sl]
+        w2x = wtri_ref[3:4, sl]
+        w2y = wtri_ref[4:5, sl]
+        w2z = wtri_ref[5:6, sl]
+        nx = wtri_ref[6:7, sl]
+        ny = wtri_ref[7:8, sl]
+        nz = wtri_ref[8:9, sl]
+        det = wtri_ref[9:10, sl]
+
+        qx = px - ax
+        qy = py - ay
+        qz = pz - az
+        u_num = qx * pvx + qy * pvy + qz * pvz
+        v_num = qx * w2x + qy * w2y + qz * w2z
+        t_num = qx * nx + qy * ny + qz * nz
+
+        hitp = ((u_num * det >= 0) & (v_num * det >= 0)
+                & ((u_num + v_num - det) * det <= 0)
+                & (s * (t_num * det) > 0))
+        sign = jnp.where(det > 0, -s, s)
+        return wind_c + jnp.sum(jnp.where(hitp, sign, 0.0), axis=1,
+                                keepdims=True)
+
+    wind_f = jax.lax.fori_loop(0, n_w, _wind, wind_0, unroll=False)
+
+    d2_ref[:] = jnp.transpose(d2_f, (1, 0))
+    idx_ref[:] = jnp.transpose(idx_f, (1, 0))
+    qvis_ref[:] = jnp.transpose(qvis_f, (1, 0))
+    wind_ref[:] = jnp.transpose(wind_f, (1, 0))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def point_mesh_query_vis_culled_T(points_T: jnp.ndarray,
+                                  triangles: jnp.ndarray,
+                                  face_vis: jnp.ndarray, ub_d2: jnp.ndarray,
+                                  interpret: bool = False, prep=None):
+    """Transposed-I/O :func:`point_mesh_query_vis_culled` (bit-identical).
+
+    Args:
+      points_T: (3, N) query coordinates (packed TPU layout);
+      triangles/face_vis/ub_d2/prep: as the untransposed kernel.
+    Returns:
+      sq_dist (N,), face_idx (N,) int32, winding (N,), query_vis (N,).
+    """
+    N = points_T.shape[1]
+    pad_p = (-N) % TILE_P
+
+    pts = jnp.pad(points_T.astype(jnp.float32), ((0, 0), (0, pad_p)),
+                  mode="edge")
+    ub = jnp.pad(ub_d2.astype(jnp.float32), (0, pad_p))
+    if prep is None:
+        prep = prepare_mesh_ray(triangles, face_vis)
+    tri, vis, wtri = prep["tri9"], prep["vis3"], prep["wtri"]
+    n_chunks = tri.shape[1] // CULL_CHUNK
+    np_ = pts.shape[1]
+    grid = (np_ // TILE_P,)
+
+    # tile boxes straight from the packed (3, Np) layout — transposing back
+    # to (Np, 3) here would re-materialize the padded layout this variant
+    # exists to avoid
+    T = np_ // TILE_P
+    ptile = pts.reshape(3, T, TILE_P)
+    tmin = jnp.transpose(ptile.min(2), (1, 0))                # (T, 3)
+    tmax = jnp.transpose(ptile.max(2), (1, 0))
+    ub_t = ub.reshape(T, TILE_P).max(1)
+    mask, use_neg = _cull_masks_from_boxes(tmin, tmax, ub_t, tri)
+    assert n_chunks <= 61, "face count beyond the 128-slot list layout"
+    iota = jnp.arange(n_chunks, dtype=jnp.int32)[None]
+    need_d = (mask & 1).astype(bool)
+    need_w = (mask & 2).astype(bool)
+    dlist = jnp.sort(jnp.where(need_d, iota, n_chunks), axis=1)
+    wlist = jnp.sort(jnp.where(need_w, iota, n_chunks), axis=1)
+    maskf = jnp.zeros((T, 128), jnp.int32)
+    maskf = maskf.at[:, :n_chunks].set(dlist)
+    maskf = maskf.at[:, 64:64 + n_chunks].set(wlist)
+    maskf = maskf.at[:, 126].set(need_d.sum(1).astype(jnp.int32))
+    maskf = maskf.at[:, 125].set(need_w.sum(1).astype(jnp.int32))
+    maskf = maskf.at[:, 127].set(use_neg)
+    maskf = maskf.reshape(1, -1)                              # (1, T*128)
+
+    out_specs = [pl.BlockSpec((1, TILE_P), lambda i: (0, i),
+                              memory_space=pltpu.VMEM)] * 4
+    out_shape = [
+        jax.ShapeDtypeStruct((1, np_), jnp.float32),
+        jax.ShapeDtypeStruct((1, np_), jnp.int32),
+        jax.ShapeDtypeStruct((1, np_), jnp.float32),
+        jax.ShapeDtypeStruct((1, np_), jnp.float32),
+    ]
+
+    def fspec(rows):
+        return pl.BlockSpec((rows, tri.shape[1]), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_kernel_vis_ray_culled_T, n_chunks=n_chunks)
+    d2, idx, wind, qvis = pl.pallas_call(
+        kernel, grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 128), lambda i: (0, i),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((3, TILE_P), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            fspec(9), fspec(3), fspec(10)],
+        out_specs=out_specs, out_shape=out_shape, interpret=interpret,
+    )(maskf, pts, tri, vis, wtri)
+    return d2[0, :N], idx[0, :N], wind[0, :N], qvis[0, :N]

@@ -27,8 +27,9 @@ import jax
 import jax.numpy as jnp
 
 from .ops.composite import rgba2out
-from .ops.knn import nearest_vertex_d2
-from .ops.mesh_query import cal_vis_sdf_prepared, prepare_culled_mesh
+from .ops.knn import nearest_vertex_d2, nearest_vertex_d2_T
+from .ops.mesh_query import (cal_vis_sdf_prepared, cal_vis_sdf_prepared_T,
+                             prepare_culled_mesh)
 from .ops.rasterize import vertex_visibility, render_vis_map
 from .ops.ray import pixel_grid_rays, ray_bbox_intersection
 from .ops.sampling import importance_sample, stratified_sample
@@ -189,21 +190,44 @@ def render_patch(model, params, batch: Dict[str, Any], *, rng,
     mesh_prep = jax.vmap(
         lambda vt, vv: prepare_culled_mesh(vt, faces, vv))(verts, vert_vis)
 
+    import os
+    soa_points = os.environ.get("VANERF_SOA_POINTS", "0") != "0"
+
     def query_at(z_depths, n_samples, key):
         """Sample points at depths, run mesh queries + the network."""
-        pts = cam_pos[:, :, None] + cam_rays[:, :, None] * z_depths[..., None]
-        pts = pts.reshape(B, -1, 3)                           # (B, P*S, 3)
+        if soa_points:
+            # coordinate-major ("SoA") point generation: each coordinate is
+            # an independent packed (B, P, S) array, so the sample-position
+            # math and the mesh/KNN kernel inputs never materialize the
+            # lane-padded (N, 3) layout ((8,128)-tiling pads the 3-wide
+            # minor dim to 128 lanes — a 42x HBM blowup per tensor).
+            pts_T = (cam_pos.swapaxes(1, 2)[:, :, :, None]
+                     + cam_rays.swapaxes(1, 2)[:, :, :, None]
+                     * z_depths[:, None]).reshape(B, 3, -1)   # (B, 3, P*S)
+            nn_idx, nn_d2 = jax.vmap(
+                lambda p, v: nearest_vertex_d2_T(p, v))(pts_T, verts)
+            sdf, q_vis = jax.vmap(
+                lambda m, p, ub: cal_vis_sdf_prepared_T(
+                    m, p, ub, n_samples=n_samples,
+                    chunk=sdf_chunk))(mesh_prep, pts_T, nn_d2)
+            # the network query path still consumes (B, N, 3) points
+            pts = pts_T.swapaxes(1, 2)
+        else:
+            pts = (cam_pos[:, :, None]
+                   + cam_rays[:, :, None] * z_depths[..., None])
+            pts = pts.reshape(B, -1, 3)                       # (B, P*S, 3)
+
+            # nearest vertex once per pass: the squared distance is the
+            # culled mesh kernel's branch-and-bound upper bound, and the
+            # index feeds every fusion net inside model.query (which skips
+            # its own argmin).
+            nn_idx, nn_d2 = jax.vmap(nearest_vertex_d2)(pts, verts)
+            sdf, q_vis = jax.vmap(
+                lambda m, p, ub: cal_vis_sdf_prepared(
+                    m, p, ub, n_samples=n_samples,
+                    chunk=sdf_chunk))(mesh_prep, pts, nn_d2)
         view = jnp.broadcast_to(cam_rays[:, :, None, :],
                                 (B, P, n_samples, 3)).reshape(B, -1, 3)
-
-        # nearest vertex once per pass: the squared distance is the culled
-        # mesh kernel's branch-and-bound upper bound, and the index feeds
-        # every fusion net inside model.query (which skips its own argmin).
-        nn_idx, nn_d2 = jax.vmap(nearest_vertex_d2)(pts, verts)
-        sdf, q_vis = jax.vmap(
-            lambda m, p, ub: cal_vis_sdf_prepared(
-                m, p, ub, n_samples=n_samples,
-                chunk=sdf_chunk))(mesh_prep, pts, nn_d2)
         q_sdf = sdf[..., None]                                # (B, N, 1)
 
         out, valid = model.apply(
