@@ -74,6 +74,83 @@ def test_render_patch_smoke(setup):
     assert float(out["alpha_fine"].max()) > 0.2
 
 
+@pytest.mark.slow
+def test_render_patch_soa_points_matches(setup, monkeypatch):
+    """VANERF_SOA_POINTS=1 (coordinate-major kernel I/O) must reproduce the
+    row-major path: same sample positions, same mesh queries, same render.
+
+    On the pallas backend the kernels are bit-identical; this CPU test
+    drives the renderer plumbing through the XLA fallback where the SoA
+    path transposes at the wrapper boundary, so outputs match to fp
+    association noise at most.
+    """
+    cfg, model, batch, _ = setup
+    rng = jax.random.PRNGKey(3)
+    B = batch["tar_k"].shape[0]
+    grids = mask_centered_grid(rng, batch["tar_mask"][..., 0], 8, 8)
+    n = 4
+    V2 = batch["verts"].shape[1]
+    cam = {"KRT": batch["src_krt"], "extrin": batch["src_extrin"],
+           "width": 32, "height": 32, "znear": batch["znear"],
+           "zfar": batch["zfar"]}
+    params = model.init(rng, batch["src_img"], jnp.zeros((B, n, 3)),
+                        jnp.ones((B, n, 3)), cam, batch["src_mask"],
+                        batch["verts"], jnp.ones((B, V2, 1)),
+                        jnp.ones((B, n, 1)), jnp.zeros((B, n, 1)),
+                        batch["kpt3d"], n)
+
+    def run():
+        return render_patch(model, params, batch, rng=rng, grids=grids,
+                            out_h=8, out_w=8, sample_per_ray_c=8,
+                            sample_per_ray_f=8, fine=True, training=False,
+                            sdf_chunk=64)
+
+    monkeypatch.setenv("VANERF_SOA_POINTS", "0")
+    out_a = run()
+    monkeypatch.setenv("VANERF_SOA_POINTS", "1")
+    out_b = run()
+    for k in out_a:
+        np.testing.assert_allclose(np.asarray(out_b[k]),
+                                   np.asarray(out_a[k]), rtol=1e-5,
+                                   atol=1e-6, err_msg=k)
+
+
+@pytest.mark.slow
+def test_render_patch_fused_mlp_matches(setup, monkeypatch):
+    """VANERF_FUSED_MLP=1 (pallas PE+MLPUNetFusion+gcompress kernel) must
+    reproduce the XLA composition. f32 on CPU: differences are limited to
+    matmul-split accumulation order, so tolerances are tight."""
+    cfg, model, batch, _ = setup
+    rng = jax.random.PRNGKey(5)
+    B = batch["tar_k"].shape[0]
+    grids = mask_centered_grid(rng, batch["tar_mask"][..., 0], 8, 8)
+    n = 4
+    V2 = batch["verts"].shape[1]
+    cam = {"KRT": batch["src_krt"], "extrin": batch["src_extrin"],
+           "width": 32, "height": 32, "znear": batch["znear"],
+           "zfar": batch["zfar"]}
+    params = model.init(rng, batch["src_img"], jnp.zeros((B, n, 3)),
+                        jnp.ones((B, n, 3)), cam, batch["src_mask"],
+                        batch["verts"], jnp.ones((B, V2, 1)),
+                        jnp.ones((B, n, 1)), jnp.zeros((B, n, 1)),
+                        batch["kpt3d"], n)
+
+    def run():
+        return render_patch(model, params, batch, rng=rng, grids=grids,
+                            out_h=8, out_w=8, sample_per_ray_c=8,
+                            sample_per_ray_f=8, fine=True, training=False,
+                            sdf_chunk=64)
+
+    monkeypatch.setenv("VANERF_FUSED_MLP", "0")
+    out_a = run()
+    monkeypatch.setenv("VANERF_FUSED_MLP", "1")
+    out_b = run()
+    for k in out_a:
+        np.testing.assert_allclose(np.asarray(out_b[k]),
+                                   np.asarray(out_a[k]), rtol=2e-4,
+                                   atol=2e-5, err_msg=k)
+
+
 def test_mask_centered_grid_non_square():
     """Per-axis offset + per-axis clamp (ref model.py:1172-1189 clamps
     per-dim; round-1 build clamped both axes to min(W-1,H-1))."""

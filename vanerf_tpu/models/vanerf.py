@@ -280,17 +280,30 @@ class VANeRF(nn.Module):
                 feat_sample_nhwc(f, xy) for f in feat_geo]   # (BV, N, C)
             feat_tex_xy = feat_sample_nhwc(feat_tex, xy)
 
-        # parts feed WNLinear's virtual concat (the 294-wide PE concat
-        # costs ~1 ms/pass of pure HBM traffic otherwise)
-        y = self.sp_encoder(
-            v=v, pts=pts, z=z, xy=xy, extrin=cam["extrin"],
-            kpt3d=kpt3d, n_view=n_views,
-            return_parts=True)                               # 7x(BV, N, 42)
-        if not isinstance(y, (list, tuple)):
+        # fused geometry-MLP kernel (PE + MLPUNetFusion + gcompress in one
+        # pallas pass, ops/fused_mlp.py): single-view inference only — the
+        # XLA composition below writes ~10 intermediate tensors per pass to
+        # HBM that the kernel keeps in VMEM.
+        use_fused_mlp = (
+            os.environ.get("VANERF_FUSED_MLP", "0") != "0"
+            and not training and n_views == 1 and not self.sp_conv
+            and self.sp_args["sp_type"] == "rel_z_decay"
+            and not self.is_initializing())
+
+        y = None
+        if not use_fused_mlp:
+            # parts feed WNLinear's virtual concat (the 294-wide PE concat
+            # costs ~1 ms/pass of pure HBM traffic otherwise)
+            y = self.sp_encoder(
+                v=v, pts=pts, z=z, xy=xy, extrin=cam["extrin"],
+                kpt3d=kpt3d, n_view=n_views,
+                return_parts=True)                           # 7x(BV, N, 42)
+        if y is not None and not isinstance(y, (list, tuple)):
             y = [y]
-        y = [p.reshape(B, n_views, N, -1).astype(cdt) for p in y]
+        if y is not None:
+            y = [p.reshape(B, n_views, N, -1).astype(cdt) for p in y]
         pe_mode = os.environ.get("VANERF_PE_CONCAT", "1")
-        if pe_mode != "0" and len(y) > 1:
+        if y is not None and pe_mode != "0" and len(y) > 1:
             # One materialized bf16 concat + a single first-layer matmul
             # beats the 7-part virtual-concat accumulate chain (each part
             # step re-reads the 128-ch accumulator + an f32 42-ch part:
@@ -368,9 +381,33 @@ class VANeRF(nn.Module):
                 q_vis_rep, q_sdf_rep, knn=geo_knn)           # [(BV,N,64/8)]
         fused = [f.reshape(B, n_views, N, -1) for f in fused]
 
-        out, valid, _latent_view, latent_fused = self.mlp_geo(
-            y, fused, out_mask.astype(cdt),
-            pix_weight.astype(cdt))                          # out (B,N,2)
+        latent_compressed = False
+        if use_fused_mlp:
+            from ..ops.fused_mlp import (fused_geo_mlp,
+                                         prepare_geo_mlp_weights)
+            Rt = cam["extrin"]
+            cxyz = (v @ jnp.swapaxes(Rt[:, :3, :3], -1, -2)
+                    + Rt[:, None, :3, 3]).astype(jnp.float32)
+            kptc = (kpt3d @ jnp.swapaxes(Rt[:, :3, :3], -1, -2)
+                    + Rt[:, None, :3, 3]).astype(jnp.float32)
+            kptc_T = jnp.swapaxes(kptc, 1, 2)                # (B, 3, K)
+            wts = prepare_geo_mlp_weights(self.variables["params"], cdt)
+            aux = jnp.concatenate(
+                [fused[0][:, 0].astype(cdt), fused[1][:, 0].astype(cdt),
+                 out_mask[:, 0].astype(cdt),
+                 pix_weight[:, 0].astype(cdt)], -1)          # (B, N, 74)
+            sp = self.sp_args
+            out, latent_fused = jax.vmap(
+                lambda c, k, a: fused_geo_mlp(
+                    c, k, a, wts, sp_level=sp["sp_level"],
+                    scale=float(sp["scale"]),
+                    sigma=float(sp.get("sigma", 0.1))))(cxyz, kptc_T, aux)
+            valid = (out_mask.astype(cdt).sum(1) > 0)        # (B, N, 1)
+            latent_compressed = True
+        else:
+            out, valid, _latent_view, latent_fused = self.mlp_geo(
+                y, fused, out_mask.astype(cdt),
+                pix_weight.astype(cdt))                      # out (B,N,2)
 
         bounds_rep = None
         if bounds is not None:
@@ -381,7 +418,8 @@ class VANeRF(nn.Module):
             n_views, feat_tex, latent_fused, krt, src_img,
             out_mask.reshape(B * n_views, N, 1), n_samples,
             bounds=bounds_rep, nn_idx=nn_idx, img_xy=img_xy,
-            feat_xy=feat_tex_xy, tex_knn=tex_knn)
+            feat_xy=feat_tex_xy, tex_knn=tex_knn,
+            latent_compressed=latent_compressed)
         out = jnp.concatenate([out, rgb], -1)                # (B, N, 5)
         out = out.astype(jnp.float32)   # compositing/losses stay f32
         return out, valid.astype(out.dtype)                  # valid (B, N, 1)
@@ -393,14 +431,15 @@ class VANeRF(nn.Module):
     def _query_color(self, vert_xy, vert, vert_vis, query_vis, v, xy, view,
                      n_views, feat_tex, latent_fused, krt, img, out_mask,
                      n_samples, bounds=None, nn_idx=None, img_xy=None,
-                     feat_xy=None, tex_knn=None):
+                     feat_xy=None, tex_knn=None, latent_compressed=False):
         BV, N, _ = v.shape
         B = BV // n_views
         if img_xy is None:
             img_xy = feat_sample_nhwc(img, xy)               # (BV, N, 3)
         pHW = N // n_samples
 
-        latent_fused = self.ibr_compress_gfeat(latent_fused)  # (B, N, 24)
+        if not latent_compressed:   # fused_geo_mlp pre-applies gcompress
+            latent_fused = self.ibr_compress_gfeat(latent_fused)  # (B,N,24)
         lat_rep = (jnp.repeat(latent_fused, n_views, axis=0)
                    if n_views != 1 else latent_fused)
         view_rep = (jnp.repeat(view, n_views, axis=0)
