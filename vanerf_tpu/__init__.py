@@ -26,3 +26,19 @@ if _prec:
     import jax as _jax
     _jax.config.update("jax_default_matmul_precision", _prec)
 
+# Persistent XLA compilation cache (OPT-IN via VANERF_COMPILE_CACHE=<dir>
+# or =1 for the default dir): the production render/train programs
+# (tile-grouped lax.map over the full query pipeline) take minutes to
+# compile cold; caching makes repeat runs (bench, CLI restarts, resumed
+# sessions) start in seconds.  Not on by default: XLA:CPU caches AOT
+# executables keyed to the *compiling* machine's CPU features, and
+# loading them under a different feature mask (e.g. sandboxed vs bare
+# runs on the same host) warns about possible SIGILL.
+_cc = _os.environ.get("VANERF_COMPILE_CACHE", "")
+if _cc and _cc != "0":
+    import jax as _jax
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.path.expanduser("~/.cache/vanerf_jax") if _cc == "1" else _cc)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
