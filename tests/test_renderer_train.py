@@ -151,6 +151,41 @@ def test_render_patch_fused_mlp_matches(setup, monkeypatch):
                                    atol=2e-5, err_msg=k)
 
 
+@pytest.mark.slow
+def test_ibr_v1_shortcut_bitwise(setup, monkeypatch):
+    """At one source view the IBR head is exactly identity on
+    rgb_feat[..., :3] (softmax over a single view == 1): the shortcut must
+    be bitwise equal to running the full head."""
+    cfg, model, batch, _ = setup
+    rng = jax.random.PRNGKey(7)
+    B = batch["tar_k"].shape[0]
+    grids = mask_centered_grid(rng, batch["tar_mask"][..., 0], 8, 8)
+    n = 4
+    V2 = batch["verts"].shape[1]
+    cam = {"KRT": batch["src_krt"], "extrin": batch["src_extrin"],
+           "width": 32, "height": 32, "znear": batch["znear"],
+           "zfar": batch["zfar"]}
+    params = model.init(rng, batch["src_img"], jnp.zeros((B, n, 3)),
+                        jnp.ones((B, n, 3)), cam, batch["src_mask"],
+                        batch["verts"], jnp.ones((B, V2, 1)),
+                        jnp.ones((B, n, 1)), jnp.zeros((B, n, 1)),
+                        batch["kpt3d"], n)
+
+    def run():
+        return render_patch(model, params, batch, rng=rng, grids=grids,
+                            out_h=8, out_w=8, sample_per_ray_c=8,
+                            sample_per_ray_f=8, fine=True, training=False,
+                            sdf_chunk=64)
+
+    monkeypatch.setenv("VANERF_IBR_V1_SHORTCUT", "0")
+    out_a = run()
+    monkeypatch.setenv("VANERF_IBR_V1_SHORTCUT", "1")
+    out_b = run()
+    for k in out_a:
+        np.testing.assert_array_equal(np.asarray(out_b[k]),
+                                      np.asarray(out_a[k]), err_msg=k)
+
+
 def test_mask_centered_grid_non_square():
     """Per-axis offset + per-axis clamp (ref model.py:1172-1189 clamps
     per-dim; round-1 build clamped both axes to min(W-1,H-1))."""

@@ -457,6 +457,17 @@ class VANeRF(nn.Module):
                 img_xy, img, lat_rep, nn_idx=nn_idx,
                 knn=tex_knn)                                 # (BV, N, 40)
 
+        if (n_views == 1 and not self.is_initializing()
+                and os.environ.get("VANERF_IBR_V1_SHORTCUT", "1") != "0"):
+            # With ONE source view the IBR head is exactly the identity on
+            # rgb_feat[..., :3]: the blend is softmax over a single view
+            # (== 1 for any logit, ref model.py:1635-1636), so the ray
+            # encoder, anisotropy weights and base/vis/out layers are dead
+            # code — and their gradients are identically zero, so training
+            # is unchanged too. Skips inv(KRT), the ray-diff math, three
+            # (rays, samples, views) relayouts and ~10 Dense layers.
+            return rgb_feat[..., :3].reshape(B, N, 3)
+
         inv_calib = jnp.linalg.inv(krt)                      # (BV, 4, 4)
         cam_pos = inv_calib[:, :3, 3]                        # (BV, 3)
         cam_rays = v - cam_pos[:, None]

@@ -260,7 +260,8 @@ def cal_vis_sdf(verts: jnp.ndarray, faces: jnp.ndarray, points: jnp.ndarray,
     return sdf, query_vis, closest_face.astype(jnp.int32)
 
 
-def blocked_order(P: int, S: int, ray_block: int = 16, s_block: int = 8):
+def blocked_order(P: int, S: int, ray_block: int | None = None,
+                  s_block: int | None = None):
     """Static block sizes for the spatially-coherent point layout.
 
     Points come ray-major ((P rays) x (S samples), sample fastest); a
@@ -269,7 +270,17 @@ def blocked_order(P: int, S: int, ray_block: int = 16, s_block: int = 8):
     pixels x 8 consecutive depths) makes tiles compact in all three
     dimensions, which is what the culled kernel's AABB tests feed on.
     Falls back to identity blocks when shapes don't divide.
+
+    Defaults match the kernel's 128-point tiles; tune together with
+    VANERF_MESH_TILE_P via VANERF_BLOCK_RAYS / VANERF_BLOCK_SAMPLES
+    (ray_block * s_block should equal the kernel tile size — point tiles
+    ride the sublane axis, so 8-multiples below 128 are legal there).
     """
+    import os
+    if ray_block is None:
+        ray_block = int(os.environ.get("VANERF_BLOCK_RAYS", "16"))
+    if s_block is None:
+        s_block = int(os.environ.get("VANERF_BLOCK_SAMPLES", "8"))
     if P % ray_block or S % s_block:
         return None
     return (ray_block, s_block)
