@@ -116,8 +116,10 @@ def test_render_patch_soa_points_matches(setup, monkeypatch):
 
 
 @pytest.mark.slow
-def test_render_patch_fused_mlp_matches(setup, monkeypatch):
-    """VANERF_FUSED_MLP=1 (pallas PE+MLPUNetFusion+gcompress kernel) must
+@pytest.mark.parametrize("level", ["1", "2"])
+def test_render_patch_fused_mlp_matches(setup, monkeypatch, level):
+    """VANERF_FUSED_MLP=1 (pallas PE+MLPUNetFusion+gcompress kernel) and
+    =2 (additionally both gate/fuse nets + the V=1 rgb head) must
     reproduce the XLA composition. f32 on CPU: differences are limited to
     matmul-split accumulation order, so tolerances are tight."""
     cfg, model, batch, _ = setup
@@ -143,7 +145,7 @@ def test_render_patch_fused_mlp_matches(setup, monkeypatch):
 
     monkeypatch.setenv("VANERF_FUSED_MLP", "0")
     out_a = run()
-    monkeypatch.setenv("VANERF_FUSED_MLP", "1")
+    monkeypatch.setenv("VANERF_FUSED_MLP", level)
     out_b = run()
     for k in out_a:
         np.testing.assert_allclose(np.asarray(out_b[k]),

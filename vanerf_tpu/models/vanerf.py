@@ -280,15 +280,24 @@ class VANeRF(nn.Module):
                 feat_sample_nhwc(f, xy) for f in feat_geo]   # (BV, N, C)
             feat_tex_xy = feat_sample_nhwc(feat_tex, xy)
 
-        # fused geometry-MLP kernel (PE + MLPUNetFusion + gcompress in one
-        # pallas pass, ops/fused_mlp.py): single-view inference only — the
-        # XLA composition below writes ~10 intermediate tensors per pass to
-        # HBM that the kernel keeps in VMEM.
-        use_fused_mlp = (
-            os.environ.get("VANERF_FUSED_MLP", "0") != "0"
-            and not training and n_views == 1 and not self.sp_conv
-            and self.sp_args["sp_type"] == "rel_z_decay"
-            and not self.is_initializing())
+        # fused query kernels (ops/fused_mlp.py): single-view inference
+        # only — the XLA composition writes ~10+ intermediate tensors per
+        # pass to HBM that the kernels keep in VMEM.
+        #   VANERF_FUSED_MLP=1: PE + MLPUNetFusion + gcompress;
+        #   VANERF_FUSED_MLP=2: additionally the GeoVisFusion/TexVisFusion
+        #     gate+fuse nets and the V=1 rgb head — the whole per-point
+        #     network behind the gathers.
+        fused_level = int(os.environ.get("VANERF_FUSED_MLP", "0") or 0)
+        if not (not training and n_views == 1 and not self.sp_conv
+                and self.sp_args["sp_type"] == "rel_z_decay"
+                and not self.is_initializing()):
+            fused_level = 0
+        if fused_level >= 2 and not (
+                feat_geo[0].shape[-1] == 64 and feat_geo[1].shape[-1] == 8
+                and feat_tex.shape[-1] == 8 and self.gcompress_out == 24
+                and kpt3d.shape[1] == self.sp_args["n_kpt"]):
+            fused_level = 1          # full kernel assumes shipped dims
+        use_fused_mlp = fused_level >= 1
 
         y = None
         if not use_fused_mlp:
@@ -365,11 +374,20 @@ class VANeRF(nn.Module):
             # per-vertex tables ride the same nearest-vertex index, so
             # concat the tables and split the gathered rows (saves a
             # 262k-row gather per pass).
-            from ..ops.knn import knn_gather_1
+            from ..ops.knn import knn_gather_1, knn_gather_raw
             gv = self.geo_vis_fusion.vertex_table(feat_geo, vert_xy)
             tv = self.tex_vis_fusion.vertex_table(feat_tex, src_img,
                                                   vert_xy)
             shared = jnp.concatenate([gv, tv], -1)
+            if fused_level >= 2:
+                # full-kernel path: raw rows; slicing/vis-weighting and
+                # BOTH fusion nets run inside the pallas kernel
+                g2_raw = knn_gather_raw(v, vert_rep, shared, vert_vis_rep,
+                                        self.num_v, nn_idx=nn_idx)
+                return self._query_fused_full(
+                    v, cam, kpt3d, feat_sampled, img_xy, feat_tex_xy,
+                    q_sdf_rep, q_vis_rep, out_mask, pix_weight, g2_raw,
+                    B, N, cdt)
             f_s, f_toh_s, vis_th, vis_toh = knn_gather_1(
                 v, vert_rep, shared, vert_vis_rep, self.num_v,
                 nn_idx=nn_idx)
@@ -423,6 +441,38 @@ class VANeRF(nn.Module):
         out = jnp.concatenate([out, rgb], -1)                # (B, N, 5)
         out = out.astype(jnp.float32)   # compositing/losses stay f32
         return out, valid.astype(out.dtype)                  # valid (B, N, 1)
+
+    def _query_fused_full(self, v, cam, kpt3d, feat_sampled, img_xy,
+                          feat_tex_xy, q_sdf_rep, q_vis_rep, out_mask,
+                          pix_weight, g2_raw, B, N, cdt):
+        """VANERF_FUSED_MLP=2 tail of query(): one pallas pass runs the
+        GeoVisFusion gates, the geometry MLP stack, gcompress, the
+        TexVisFusion gates and the V=1 rgb head over the raw gather rows
+        (ops/fused_mlp.py::fused_query_mlp)."""
+        from ..ops.fused_mlp import fused_query_mlp, prepare_query_weights
+        Rt = cam["extrin"]
+        cxyz = (v @ jnp.swapaxes(Rt[:, :3, :3], -1, -2)
+                + Rt[:, None, :3, 3]).astype(jnp.float32)
+        kptc = (kpt3d @ jnp.swapaxes(Rt[:, :3, :3], -1, -2)
+                + Rt[:, None, :3, 3]).astype(jnp.float32)
+        kptc_T = jnp.swapaxes(kptc, 1, 2)                    # (B, 3, K)
+        sp = self.sp_args
+        wts = prepare_query_weights(self.variables["params"], cdt,
+                                    n_parts=1 + 2 * sp["sp_level"])
+        feats = jnp.concatenate(
+            [feat_sampled[0].astype(cdt), feat_sampled[1].astype(cdt),
+             img_xy.astype(cdt), feat_tex_xy.astype(cdt),
+             q_sdf_rep.astype(cdt), q_vis_rep.astype(cdt),
+             out_mask[:, 0].astype(cdt),
+             pix_weight[:, 0].astype(cdt)], -1)              # (B, N, 87)
+        out5 = jax.vmap(
+            lambda c, k, f, g: fused_query_mlp(
+                c, k, f, g, wts, sp_level=sp["sp_level"],
+                scale=float(sp["scale"]),
+                sigma=float(sp.get("sigma", 0.1))))(
+            cxyz, kptc_T, feats, g2_raw.astype(cdt))         # (B, N, 5) f32
+        valid = (out_mask.astype(cdt).sum(1) > 0)            # (B, N, 1)
+        return out5, valid.astype(out5.dtype)
 
     # ------------------------------------------------------------------
     # IBR color query (reference query_color, model.py:884-957)

@@ -154,3 +154,23 @@ def knn_gather_1(query: jnp.ndarray, verts: jnp.ndarray,
         f = f * v
         f_toh = f_toh * v_toh
     return f, f_toh, v, v_toh
+
+
+def knn_gather_raw(query: jnp.ndarray, verts: jnp.ndarray,
+                   vert_feat: jnp.ndarray, vert_vis: jnp.ndarray,
+                   num_v: int, nn_idx: jnp.ndarray | None = None):
+    """The :func:`knn_gather_1` gather WITHOUT the split/vis-weighting.
+
+    Returns the raw gathered rows (B, N, 2(C+1)) laid out as
+    [feat_this (C) | vis_this (1) | feat_toh (C) | vis_toh (1)] — the
+    fused query kernel (ops/fused_mlp.py) slices and vis-weights them in
+    VMEM instead of materializing four weighted tensors in HBM.
+    """
+    idx = (nn_idx if nn_idx is not None
+           else jax.vmap(nearest_vertex)(query, verts))    # (B, N)
+    packed = jnp.concatenate(
+        [vert_feat, vert_vis.astype(vert_feat.dtype)], -1)
+    packed_both = jnp.concatenate(
+        [packed, jnp.roll(packed, -num_v, axis=1)], -1)    # (B, V, 2(C+1))
+    take = jax.vmap(lambda a, i: a.at[i].get(mode="promise_in_bounds"))
+    return take(packed_both, idx)
