@@ -232,6 +232,59 @@ def test_cal_vis_sdf_prepared_T_matches(mesh_and_points):
     np.testing.assert_array_equal(np.asarray(qv_b), np.asarray(qv_a))
 
 
+def test_blocked2d_relayout_roundtrip():
+    from vanerf_tpu.ops.mesh_query import (_to_blocked2d_ax1,
+                                           _from_blocked2d_ax1)
+    rng = np.random.default_rng(5)
+    H, W, S = 8, 16, 8
+    x = jnp.asarray(rng.normal(size=(3, H * W * S)).astype(np.float32))
+    xb = _to_blocked2d_ax1(x, H, W, S, 4, 4, 8)
+    np.testing.assert_array_equal(
+        np.asarray(_from_blocked2d_ax1(xb, H, W, S, 4, 4, 8)),
+        np.asarray(x))
+    # first tile = the (4 x 4) pixel block x 8 depths, row-major
+    x3 = np.asarray(x).reshape(3, H, W, S)
+    np.testing.assert_array_equal(
+        np.asarray(xb)[:, :128].reshape(3, 4, 4, 8), x3[:, :4, :4, :8])
+
+
+def test_cal_vis_sdf_prepared_T_block2d_matches(mesh_and_points,
+                                                monkeypatch):
+    """2-D pixel blocking is a pure relayout: per-point results must equal
+    the 1-D-blocked run (same kernel, different tile grouping — d2/wind
+    values are tile-order independent)."""
+    import os
+    from vanerf_tpu.ops import mesh_query as mq
+    import vanerf_tpu.ops.mesh_query_pallas as mqp
+    tri, pts = mesh_and_points
+    F = tri.shape[0]
+    verts = jnp.asarray(np.asarray(tri).reshape(-1, 3))
+    faces = jnp.arange(F * 3, dtype=jnp.int32).reshape(F, 3)
+    vert_vis = jnp.asarray(
+        (np.random.default_rng(3).random((F * 3, 1)) > 0.5)
+        .astype(np.float32))
+    N = pts.shape[0]           # 256 = (4 x 8 rays) x 8 samples
+    S = 8
+    corners = np.asarray(tri).reshape(-1, 3)
+    d2v = ((np.asarray(pts)[:, None] - corners[None]) ** 2).sum(-1).min(-1)
+    ub = jnp.asarray(d2v.astype(np.float32))
+    pts_T = jnp.transpose(pts, (1, 0))
+
+    monkeypatch.setenv("VANERF_MESH_BACKEND", "pallas")
+    orig_T = mqp.point_mesh_query_vis_culled_T
+    monkeypatch.setattr(
+        mqp, "point_mesh_query_vis_culled_T",
+        lambda *a, **k: orig_T(*a, **{**k, "interpret": True}))
+    mesh = mq.prepare_culled_mesh(verts, faces, vert_vis)
+    sdf_a, qv_a = mq.cal_vis_sdf_prepared_T(mesh, pts_T, ub, n_samples=S)
+    monkeypatch.setenv("VANERF_BLOCK_2D", "4,4,8")
+    sdf_b, qv_b = mq.cal_vis_sdf_prepared_T(mesh, pts_T, ub, n_samples=S,
+                                            rays_hw=(4, 8))
+    np.testing.assert_allclose(np.asarray(sdf_b), np.asarray(sdf_a),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(qv_b), np.asarray(qv_a))
+
+
 def test_pallas_nearest_vertex_T_bit_identical():
     from vanerf_tpu.ops.knn_pallas import (nearest_vertex_d2_pallas,
                                            nearest_vertex_d2_pallas_T)

@@ -393,13 +393,17 @@ def cal_vis_sdf_prepared(mesh: dict, points: jnp.ndarray,
 
 def cal_vis_sdf_prepared_T(mesh: dict, points_T: jnp.ndarray,
                            ub_d2: jnp.ndarray,
-                           n_samples: int | None = None, chunk: int = 2048):
+                           n_samples: int | None = None, chunk: int = 2048,
+                           rays_hw: tuple | None = None):
     """Transposed-input :func:`cal_vis_sdf_prepared`.
 
     Takes (3, N) points (the packed TPU layout — see
     ``point_mesh_query_vis_culled_T``) and keeps every relayout
     (centering, ray/sample blocking, output unblocking) in packed
     coordinate-major form.  Bit-identical results.
+
+    rays_hw: optional (H, W) shape of the ray grid (rays row-major) —
+    enables 2-D pixel blocking when VANERF_BLOCK_2D is set.
     """
     if not _use_pallas():
         return cal_vis_sdf_fast(mesh["verts"], mesh["faces"],
@@ -408,10 +412,19 @@ def cal_vis_sdf_prepared_T(mesh: dict, points_T: jnp.ndarray,
     from .mesh_query_pallas import point_mesh_query_vis_culled_T
     points_T = points_T - mesh["center"][:, None]
     N = points_T.shape[1]
-    blocks = None
+    blocks = blocks2d = None
     if n_samples is not None and N % n_samples == 0:
-        blocks = blocked_order(N // n_samples, n_samples)
-    if blocks is not None:
+        if rays_hw is not None and rays_hw[0] * rays_hw[1] * n_samples == N:
+            blocks2d = blocked2d_order(rays_hw[0], rays_hw[1], n_samples)
+        if blocks2d is None:
+            blocks = blocked_order(N // n_samples, n_samples)
+    if blocks2d is not None:
+        H, W = rays_hw
+        bh, bw, sb = blocks2d
+        pts_b = _to_blocked2d_ax1(points_T, H, W, n_samples, bh, bw, sb)
+        ub_b = _to_blocked2d_ax1(ub_d2[None], H, W, n_samples, bh, bw,
+                                 sb)[0]
+    elif blocks is not None:
         rb, sb = blocks
         P = N // n_samples
         # blocked relayout along the packed point axis: (3, N) -> (3, N)
@@ -423,7 +436,12 @@ def cal_vis_sdf_prepared_T(mesh: dict, points_T: jnp.ndarray,
     d2, _idx, w, qv = point_mesh_query_vis_culled_T(
         pts_b, None, None, ub_b, prep=mesh["prep"])
 
-    if blocks is not None:
+    if blocks2d is not None:
+        packed = jnp.stack([d2, w, qv], 0)                    # (3, N) packed
+        packed = _from_blocked2d_ax1(packed, rays_hw[0], rays_hw[1],
+                                     n_samples, bh, bw, sb)
+        d2, w, qv = packed[0], packed[1], packed[2]
+    elif blocks is not None:
         packed = jnp.stack([d2, w, qv], 0)                    # (3, N) packed
         packed = _from_blocked_ax1(packed, P, n_samples, rb, sb)
         d2, w, qv = packed[0], packed[1], packed[2]
@@ -447,6 +465,43 @@ def _from_blocked_ax1(x: jnp.ndarray, P: int, S: int, rb: int, sb: int):
     x = x.reshape(C, P // rb, S // sb, rb, sb)
     x = jnp.swapaxes(x, 2, 3)
     return x.reshape(C, P * S)
+
+
+def blocked2d_order(H: int, W: int, S: int):
+    """Optional 2-D pixel blocking (VANERF_BLOCK_2D="bh,bw,sb").
+
+    The 1-D blocking groups `ray_block` CONSECUTIVE pixels — a row strip
+    whose bbox is long in one image axis.  A (bh x bw) pixel block x sb
+    depths is compact in all three world dimensions, tightening the
+    culled kernel's per-tile AABBs.  Returns (bh, bw, sb) or None.
+    """
+    import os
+    spec = os.environ.get("VANERF_BLOCK_2D", "")
+    if not spec:
+        return None
+    try:
+        bh, bw, sb = (int(t) for t in spec.replace("x", ",").split(","))
+    except ValueError:
+        return None
+    if H % bh or W % bw or S % sb:
+        return None
+    return bh, bw, sb
+
+
+def _to_blocked2d_ax1(x, H, W, S, bh, bw, sb):
+    """(C, N=H*W*S) row-major rays -> (bh x bw x sb) tile order."""
+    C = x.shape[0]
+    x = x.reshape(C, H // bh, bh, W // bw, bw, S // sb, sb)
+    x = jnp.transpose(x, (0, 1, 3, 5, 2, 4, 6))
+    return x.reshape(C, H * W * S)
+
+
+def _from_blocked2d_ax1(x, H, W, S, bh, bw, sb):
+    """Inverse of :func:`_to_blocked2d_ax1`."""
+    C = x.shape[0]
+    x = x.reshape(C, H // bh, W // bw, S // sb, bh, bw, sb)
+    x = jnp.transpose(x, (0, 1, 4, 2, 5, 3, 6))
+    return x.reshape(C, H * W * S)
 
 
 def cal_vis_sdf_cull(verts: jnp.ndarray, faces: jnp.ndarray,

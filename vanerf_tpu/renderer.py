@@ -208,8 +208,8 @@ def render_patch(model, params, batch: Dict[str, Any], *, rng,
                 lambda p, v: nearest_vertex_d2_T(p, v))(pts_T, verts)
             sdf, q_vis = jax.vmap(
                 lambda m, p, ub: cal_vis_sdf_prepared_T(
-                    m, p, ub, n_samples=n_samples,
-                    chunk=sdf_chunk))(mesh_prep, pts_T, nn_d2)
+                    m, p, ub, n_samples=n_samples, chunk=sdf_chunk,
+                    rays_hw=(out_h, out_w)))(mesh_prep, pts_T, nn_d2)
             # the network query path still consumes (B, N, 3) points
             pts = pts_T.swapaxes(1, 2)
         else:
