@@ -30,32 +30,58 @@ CONFIGS = {
 }
 
 
+# Training is n_views=1 too (configs/vanerf.json num_input_view), but the
+# fused query kernels are inference-only (no pallas VJP) — only the
+# layout/blocking flags apply to the train step.
+TRAIN_CONFIGS = {
+    "base": {},
+    "soa": {"VANERF_SOA_POINTS": "1"},
+    "b2d": {"VANERF_BLOCK_2D": "4,4,8"},
+    "soa_b2d": {"VANERF_SOA_POINTS": "1", "VANERF_BLOCK_2D": "4,4,8"},
+}
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--configs", nargs="*", default=list(CONFIGS))
+    ap.add_argument("--configs", nargs="*", default=None)
+    ap.add_argument("--train", action="store_true",
+                    help="sweep the GAN train step (tools/trace_train.py "
+                         "--no_trace) instead of bench.py")
     ap.add_argument("--timeout", type=int, default=1500)
     ap.add_argument("--out", default="/tmp/perf_sweep.jsonl")
     args = ap.parse_args()
+    table = TRAIN_CONFIGS if args.train else CONFIGS
+    names = args.configs if args.configs else list(table)
 
     results = []
-    for name in args.configs:
+    for name in names:
         env = dict(os.environ)
-        env.update(CONFIGS[name])
+        env.update(table[name])
         env.setdefault("VANERF_COMPILE_CACHE", "1")
+        cmd = ([sys.executable, os.path.join(ROOT, "tools",
+                                             "trace_train.py"), "--no_trace"]
+               if args.train else
+               [sys.executable, os.path.join(ROOT, "bench.py")])
         t0 = time.time()
         try:
             p = subprocess.run(
-                [sys.executable, os.path.join(ROOT, "bench.py")],
-                env=env, capture_output=True, text=True,
+                cmd, env=env, capture_output=True, text=True,
                 timeout=args.timeout)
-            line = [l for l in p.stdout.splitlines()
-                    if l.startswith("{")]
-            rec = json.loads(line[-1]) if line else {
-                "error": (p.stderr or "no output")[-800:]}
+            if args.train:
+                ms = [l for l in p.stdout.splitlines()
+                      if l.startswith("train step:")]
+                rec = ({"metric": "train_step_ms", "unit": "ms/step",
+                        "value": float(ms[-1].split()[2])} if ms else
+                       {"error": (p.stderr or "no output")[-800:]})
+            else:
+                line = [l for l in p.stdout.splitlines()
+                        if l.startswith("{")]
+                rec = json.loads(line[-1]) if line else {
+                    "error": (p.stderr or "no output")[-800:]}
         except subprocess.TimeoutExpired:
             rec = {"error": f"timeout {args.timeout}s"}
         rec["config"] = name
-        rec["env"] = CONFIGS[name]
+        rec["env"] = table[name]
         rec["wall_s"] = round(time.time() - t0, 1)
         results.append(rec)
         with open(args.out, "a") as f:
@@ -63,11 +89,13 @@ def main():
         val = rec.get("value", rec.get("error", "?"))
         print(f"{name:18s} {val}  ({rec['wall_s']}s)", flush=True)
 
-    best = max((r for r in results if "value" in r),
-               key=lambda r: r["value"], default=None)
-    if best:
-        print(f"\nbest: {best['config']} = {best['value']:.0f} "
-              f"ray-samples/s ({best.get('vs_baseline')})")
+    scored = [r for r in results if "value" in r]
+    if scored:
+        best = (min(scored, key=lambda r: r["value"]) if args.train
+                else max(scored, key=lambda r: r["value"]))
+        unit = "ms/step" if args.train else "ray-samples/s"
+        print(f"\nbest: {best['config']} = {best['value']:.1f} "
+              f"{unit} ({best.get('vs_baseline', '')})")
 
 
 if __name__ == "__main__":

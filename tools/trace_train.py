@@ -23,6 +23,8 @@ def main():
     ap.add_argument("--dtype", default=None)
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--group", action="store_true")
+    ap.add_argument("--no_trace", action="store_true",
+                    help="wall-time the step only (for perf_sweep --train)")
     args = ap.parse_args()
     if args.dtype:
         os.environ["VANERF_COMPUTE_DTYPE"] = args.dtype
@@ -54,6 +56,8 @@ def main():
         state, logs = step_j(state, batch, jax.random.PRNGKey(i))
     float(logs["train/g_loss"])
     print(f"train step: {(time.perf_counter()-t0)/3*1e3:.1f} ms (wall)")
+    if args.no_trace:
+        return
 
     tdir = "/tmp/vanerf_trace_train"
     os.system(f"rm -rf {tdir}")
