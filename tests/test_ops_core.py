@@ -188,6 +188,33 @@ def test_rasterizer_sphere_coverage_and_depth():
     assert 0.3 < frac < 0.7
 
 
+def test_rasterizer_pallas_matches_xla():
+    """The pallas z-buffer kernel (the TPU default inside render_vis_map's
+    training-loss path) must agree with the XLA fallback: same hit mask,
+    same depths, same barycentrics — face ids may differ only at exact
+    z-ties."""
+    from vanerf_tpu.ops.rasterize_pallas import rasterize_zbuffer_pallas
+    verts, faces = make_icosphere(subdiv=2)
+    H, W = 48, 64                       # non-square: catches x/y mixups
+    xy = (verts[:, :2] * 0.4 + 0.5) * (min(H, W) - 1)
+    z = verts[:, 2] + 2.0
+    fa, ba, za = rasterize_zbuffer(
+        jnp.asarray(xy), jnp.asarray(z), jnp.asarray(faces), H, W)
+    fb, bb, zb = rasterize_zbuffer_pallas(
+        jnp.asarray(xy), jnp.asarray(z), jnp.asarray(faces), H, W,
+        interpret=True)
+    fa, fb = np.asarray(fa), np.asarray(fb)
+    za, zb = np.asarray(za), np.asarray(zb)
+    np.testing.assert_array_equal(fb >= 0, fa >= 0)
+    hit = fa >= 0
+    np.testing.assert_allclose(zb[hit], za[hit], rtol=1e-5, atol=1e-6)
+    same = fb == fa
+    assert same[hit].mean() > 0.99      # ties only at shared edges
+    np.testing.assert_allclose(np.asarray(bb)[hit & same],
+                               np.asarray(ba)[hit & same],
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_vertex_visibility_front_back():
     verts, faces = make_icosphere(subdiv=2)
     xy01 = (verts[:, :2] * 0.4 + 0.5)

@@ -69,9 +69,10 @@ def _kernel(tri_ref, face_ref, z_ref, *, n_chunks, W):
     z_ref[:] = zbest
 
 
-@functools.partial(jax.jit, static_argnames=("H", "W"))
+@functools.partial(jax.jit, static_argnames=("H", "W", "interpret"))
 def rasterize_zbuffer_pallas(verts_xy: jnp.ndarray, verts_z: jnp.ndarray,
-                             faces: jnp.ndarray, H: int, W: int):
+                             faces: jnp.ndarray, H: int, W: int,
+                             interpret: bool = False):
     """Pallas z-buffer rasterization; same contract as
     :func:`vanerf_tpu.ops.rasterize.rasterize_zbuffer`.
 
@@ -108,6 +109,7 @@ def rasterize_zbuffer_pallas(verts_xy: jnp.ndarray, verts_z: jnp.ndarray,
             jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
             jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
         ],
+        interpret=interpret,
     )(packed)
     face = face[:n, 0]
     zbuf = zbuf[:n, 0]
