@@ -233,6 +233,54 @@ def test_train_step_updates_and_is_finite(setup):
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("mode", ["1", "2"])
+def test_train_step_remat_query_matches(setup, monkeypatch, mode):
+    """VANERF_REMAT_QUERY rematerializes the per-point network in the
+    backward pass (jax.checkpoint) — losses and the GRADIENTS must match
+    the residual-storing baseline.  Gradients are observed exactly by
+    running the step under SGD(lr=1): params_new - params == -grad.
+    (Comparing params after an Adam step is hopeless: step-1 Adam updates
+    are ~lr*sign(g), so ulp-level fp-reorder noise on near-zero grads
+    flips whole elements.)"""
+    import optax
+    cfg, model, batch, _ = setup
+    disc = DiscriminatorVis()
+    rng = jax.random.PRNGKey(1)
+    state, _ = create_train_state(
+        model, disc, rng, batch, cfg, steps_per_epoch=10)
+    sgd = optax.sgd(1.0)
+    state = state._replace(opt_g=sgd.init(state.params_g),
+                           opt_d=sgd.init(state.params_d))
+    vgg = L.VGGLoss(dummy_hw=8)
+
+    def grads_of_step():
+        step = jax.jit(make_train_step(model, disc, sgd, sgd, cfg, vgg))
+        new_state, logs = step(state, batch, jax.random.PRNGKey(2))
+        g = jax.tree.map(lambda old, new: np.asarray(old) - np.asarray(new),
+                         state.params_g, new_state.params_g)
+        return g, {k: float(v) for k, v in logs.items()}
+
+    monkeypatch.setenv("VANERF_REMAT_QUERY", "0")
+    g0, logs0 = grads_of_step()
+    monkeypatch.setenv("VANERF_REMAT_QUERY", mode)
+    g1, logs1 = grads_of_step()
+    for k in logs0:
+        np.testing.assert_allclose(logs1[k], logs0[k], rtol=2e-4,
+                                   atol=1e-5, err_msg=k)
+    # Normalized infinity-norm per tensor with an absolute noise floor:
+    # tensors whose whole grad is ~1e-7 (e.g. tex-encoder biases at these
+    # tiny shapes) see pure fp-reorder noise; a missing grad path on any
+    # numerically meaningful tensor (grads >> 1e-5) is still caught.
+    paths0 = jax.tree_util.tree_leaves_with_path(g0)
+    for (path, a), b in zip(paths0, jax.tree.leaves(g1)):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        diff = np.abs(b - a).max()
+        bound = 2e-3 * np.abs(a).max() + 1e-5
+        assert diff < bound, \
+            f"{jax.tree_util.keystr(path)}: {diff:.2e} > {bound:.2e}"
+
+
+@pytest.mark.slow
 def test_render_full_image_tile_groups_match(setup):
     from vanerf_tpu.renderer import render_full_image
     cfg, model, batch, _ = setup

@@ -193,6 +193,15 @@ def render_patch(model, params, batch: Dict[str, Any], *, rng,
     import os
     soa_points = os.environ.get("VANERF_SOA_POINTS", "0") != "0"
 
+    # VANERF_REMAT_QUERY (training only): rematerialize the per-point
+    # network in the backward pass instead of storing its ~10 intermediate
+    # (262k x C) activations to HBM (the train step is HBM-bound in its
+    # backward).  1 = recompute everything; 2 = keep matmul outputs
+    # (dots_with_no_batch_dims_saveable), recompute the elementwise/PE
+    # chains. Semantics-preserving by construction (jax.checkpoint).
+    remat_mode = (int(os.environ.get("VANERF_REMAT_QUERY", "0") or 0)
+                  if training else 0)
+
     def query_at(z_depths, n_samples, key):
         """Sample points at depths, run mesh queries + the network."""
         if soa_points:
@@ -230,12 +239,22 @@ def render_patch(model, params, batch: Dict[str, Any], *, rng,
                                 (B, P, n_samples, 3)).reshape(B, -1, 3)
         q_sdf = sdf[..., None]                                # (B, N, 1)
 
-        out, valid = model.apply(
-            params, pts, view, cam_in, feat_geo, feat_tex, src_img,
-            batch["src_mask"], verts, vert_vis, q_vis, q_sdf,
-            batch["kpt3d"], n_samples, n_views, training,
-            dropout_rng=jax.random.fold_in(key, 1) if training else None,
-            bounds=batch["bounds"], nn_idx=nn_idx, method=model.query)
+        def _net(params, pts, view, fg, ft, q_vis, q_sdf, nn_idx, drng):
+            return model.apply(
+                params, pts, view, cam_in, fg, ft, src_img,
+                batch["src_mask"], verts, vert_vis, q_vis, q_sdf,
+                batch["kpt3d"], n_samples, n_views, training,
+                dropout_rng=drng, bounds=batch["bounds"], nn_idx=nn_idx,
+                method=model.query)
+
+        if remat_mode:
+            policy = (jax.checkpoint_policies
+                      .dots_with_no_batch_dims_saveable
+                      if remat_mode == 2 else None)
+            _net = jax.checkpoint(_net, policy=policy)
+        out, valid = _net(
+            params, pts, view, feat_geo, feat_tex, q_vis, q_sdf, nn_idx,
+            jax.random.fold_in(key, 1) if training else None)
 
         # eval_func (model.py:1140-1160)
         sdf_ch = valid * out[..., 0:1] + (1.0 - valid) * (0.1 / nml_scale)
