@@ -38,6 +38,9 @@ TRAIN_CONFIGS = {
     "soa": {"VANERF_SOA_POINTS": "1"},
     "b2d": {"VANERF_BLOCK_2D": "4,4,8"},
     "soa_b2d": {"VANERF_SOA_POINTS": "1", "VANERF_BLOCK_2D": "4,4,8"},
+    "remat1": {"VANERF_REMAT_QUERY": "1"},
+    "remat2": {"VANERF_REMAT_QUERY": "2"},
+    "remat2_soa": {"VANERF_REMAT_QUERY": "2", "VANERF_SOA_POINTS": "1"},
 }
 
 

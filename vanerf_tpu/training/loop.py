@@ -53,6 +53,71 @@ class Prefetcher:
             yield b
 
 
+_POOL_DATASET = None
+
+
+def _pool_init(dataset):
+    global _POOL_DATASET
+    _POOL_DATASET = dataset
+
+
+def _pool_get(i):
+    return _POOL_DATASET[i]
+
+
+class SampleLoader:
+    """Multi-process ``dataset[i]`` evaluation — the torch
+    ``DataLoader(num_workers=N)`` analog (``training.train_num_workers``
+    in the reference config schema).
+
+    Both datasets seed their per-item RNG from the index alone
+    (``data/interhand.py``, ``data/synthetic.py``), so ``dataset[i]`` is
+    a pure function and process workers cannot change semantics — only
+    overlap image decode / jitter / MANO work with device compute.
+
+    Workers are forked and do numpy-only work; the JAX client is never
+    touched in a child (same contract as torch's fork-based workers and
+    CUDA). ``num_workers <= 1`` degrades to inline calls in the
+    prefetcher thread (prior behavior).
+    """
+
+    def __init__(self, dataset, num_workers: int = 1):
+        self.dataset = dataset
+        self.pool = None
+        self.window = 1
+        if num_workers > 1:
+            import multiprocessing as mp
+            ctx = mp.get_context("fork")
+            self.pool = ctx.Pool(num_workers, initializer=_pool_init,
+                                 initargs=(dataset,))
+            self.window = 2 * num_workers
+
+    def ordered(self, indices):
+        """Yield dataset[i] for each index, in order; work runs in the
+        pool with a bounded in-flight window (bounds result memory)."""
+        if self.pool is None:
+            for i in indices:
+                yield self.dataset[int(i)]
+            return
+        pending = collections.deque()
+        it = iter(indices)
+        for i in it:
+            pending.append(self.pool.apply_async(_pool_get, (int(i),)))
+            if len(pending) >= self.window:
+                break
+        for i in it:
+            yield pending.popleft().get()
+            pending.append(self.pool.apply_async(_pool_get, (int(i),)))
+        while pending:
+            yield pending.popleft().get()
+
+    def close(self):
+        if self.pool is not None:
+            self.pool.terminate()
+            self.pool.join()
+            self.pool = None
+
+
 class MetricLogger:
     """TensorBoard if available, always a JSONL mirror."""
 
@@ -116,47 +181,52 @@ def fit(train_step: Callable, state: TrainState, dataset,
 
     order_rng = np.random.default_rng(1234 + start_epoch)
     step_i = start_step
-    for epoch in range(start_epoch, max_epochs):
-        perm = order_rng.permutation(n)
-        t_epoch = time.time()
+    loader = SampleLoader(dataset, tcfg.get("train_num_workers", 1))
+    try:
+        for epoch in range(start_epoch, max_epochs):
+            perm = order_rng.permutation(n)
+            t_epoch = time.time()
+            samples = loader.ordered(perm[:steps_per_epoch * batch_size])
 
-        def make_batch(bi, perm=perm):
-            idxs = perm[bi * batch_size:(bi + 1) * batch_size]
-            items = [dataset[int(i)] for i in idxs]
-            items = [it for it in items if it is not None]
-            if not items:       # None-tolerant collate (model.py:123-132)
-                return ()
-            if len(items) < batch_size:      # pad for shard divisibility
-                n0 = len(items)
-                items = [items[i % n0] for i in range(batch_size)]
-            return collate(items)
+            def make_batch(bi, samples=samples):
+                items = [next(samples) for _ in range(batch_size)]
+                items = [it for it in items if it is not None]
+                if not items:   # None-tolerant collate (model.py:123-132)
+                    return ()
+                if len(items) < batch_size:  # pad for shard divisibility
+                    n0 = len(items)
+                    items = [items[i % n0] for i in range(batch_size)]
+                return collate(items)
 
-        for batch in Prefetcher(make_batch, steps_per_epoch):
-            if batch == ():
-                continue
-            rng, krun = jax.random.split(rng)
-            state, logs = train_step(state, batch, krun)
-            step_i += 1
+            for batch in Prefetcher(make_batch, steps_per_epoch):
+                if batch == ():
+                    continue
+                rng, krun = jax.random.split(rng)
+                state, logs = train_step(state, batch, krun)
+                step_i += 1
 
-            if nan_check:
-                bad = {k: float(v) for k, v in logs.items()
-                       if not np.isfinite(float(v))}
-                if bad:
-                    raise FloatingPointError(f"non-finite losses: {bad}")
+                if nan_check:
+                    bad = {k: float(v) for k, v in logs.items()
+                           if not np.isfinite(float(v))}
+                    if bad:
+                        raise FloatingPointError(
+                            f"non-finite losses: {bad}")
 
-            if step_i % log_every == 0:
-                logger.log_scalars(step_i, logs)
-            if val_fn is not None and step_i % val_every == 0:
-                val_logs = val_fn(state, step_i, logger)
-                if val_logs:
-                    logger.log_scalars(step_i, val_logs)
-            if fast_dev_run:
-                return state
-        dt = time.time() - t_epoch
-        logger.log_scalars(step_i, {"epoch": epoch,
-                                    "epoch_time_s": dt})
-        ckpt.save(step_i, state)
-    return state
+                if step_i % log_every == 0:
+                    logger.log_scalars(step_i, logs)
+                if val_fn is not None and step_i % val_every == 0:
+                    val_logs = val_fn(state, step_i, logger)
+                    if val_logs:
+                        logger.log_scalars(step_i, val_logs)
+                if fast_dev_run:
+                    return state
+            dt = time.time() - t_epoch
+            logger.log_scalars(step_i, {"epoch": epoch,
+                                        "epoch_time_s": dt})
+            ckpt.save(step_i, state)
+        return state
+    finally:
+        loader.close()
 
 
 def collate_numpy(items: Iterable[dict], faces=None, flatten_views=True):
