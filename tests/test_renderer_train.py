@@ -281,6 +281,48 @@ def test_train_step_remat_query_matches(setup, monkeypatch, mode):
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("level", ["1", "2"])
+def test_train_step_fused_train_matches(setup, monkeypatch, level):
+    """VANERF_FUSED_TRAIN=<level> runs the G forward through the pallas
+    fused query kernel with a custom_vjp that differentiates the XLA
+    composition. Losses track the baseline to kernel-parity tolerance;
+    gradients are the XLA function's grads driven by cotangents computed
+    on fused outputs, so they match to the same order."""
+    import optax
+    cfg, model, batch, _ = setup
+    disc = DiscriminatorVis()
+    rng = jax.random.PRNGKey(1)
+    state, _ = create_train_state(
+        model, disc, rng, batch, cfg, steps_per_epoch=10)
+    sgd = optax.sgd(1.0)
+    state = state._replace(opt_g=sgd.init(state.params_g),
+                           opt_d=sgd.init(state.params_d))
+    vgg = L.VGGLoss(dummy_hw=8)
+
+    def grads_of_step():
+        step = jax.jit(make_train_step(model, disc, sgd, sgd, cfg, vgg))
+        new_state, logs = step(state, batch, jax.random.PRNGKey(2))
+        g = jax.tree.map(lambda old, new: np.asarray(old) - np.asarray(new),
+                         state.params_g, new_state.params_g)
+        return g, {k: float(v) for k, v in logs.items()}
+
+    monkeypatch.setenv("VANERF_FUSED_TRAIN", "0")
+    g0, logs0 = grads_of_step()
+    monkeypatch.setenv("VANERF_FUSED_TRAIN", level)
+    g1, logs1 = grads_of_step()
+    for k in logs0:
+        np.testing.assert_allclose(logs1[k], logs0[k], rtol=5e-3,
+                                   atol=5e-4, err_msg=k)
+    paths0 = jax.tree_util.tree_leaves_with_path(g0)
+    for (path, a), b in zip(paths0, jax.tree.leaves(g1)):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        diff = np.abs(b - a).max()
+        bound = 1e-2 * np.abs(a).max() + 1e-4
+        assert diff < bound, \
+            f"{jax.tree_util.keystr(path)}: {diff:.2e} > {bound:.2e}"
+
+
+@pytest.mark.slow
 def test_render_full_image_tile_groups_match(setup):
     from vanerf_tpu.renderer import render_full_image
     cfg, model, batch, _ = setup

@@ -41,6 +41,9 @@ TRAIN_CONFIGS = {
     "remat1": {"VANERF_REMAT_QUERY": "1"},
     "remat2": {"VANERF_REMAT_QUERY": "2"},
     "remat2_soa": {"VANERF_REMAT_QUERY": "2", "VANERF_SOA_POINTS": "1"},
+    "ft1": {"VANERF_FUSED_TRAIN": "1"},
+    "ft2": {"VANERF_FUSED_TRAIN": "2"},
+    "ft2_soa": {"VANERF_FUSED_TRAIN": "2", "VANERF_SOA_POINTS": "1"},
 }
 
 

@@ -176,7 +176,8 @@ class VANeRF(nn.Module):
               verts, vert_vis, query_vis, query_sdf, kpt3d,
               n_samples: int, n_views: int = 1, training: bool = False,
               dropout_rng: Optional[jax.Array] = None, bounds=None,
-              nn_idx: Optional[jnp.ndarray] = None):
+              nn_idx: Optional[jnp.ndarray] = None,
+              fused_override: Optional[int] = None):
         """Evaluate (sdf_channel, radiance, rgb) at world points.
 
         Args:
@@ -287,7 +288,11 @@ class VANeRF(nn.Module):
         #   VANERF_FUSED_MLP=2: additionally the GeoVisFusion/TexVisFusion
         #     gate+fuse nets and the V=1 rgb head — the whole per-point
         #     network behind the gathers.
-        fused_level = int(os.environ.get("VANERF_FUSED_MLP", "0") or 0)
+        # fused_override pins the fused level per trace (renderer's
+        # fused-train custom_vjp: pallas primal, XLA backward) instead of
+        # the trace-time env read; 0 forces the XLA composition.
+        fused_level = (fused_override if fused_override is not None
+                       else int(os.environ.get("VANERF_FUSED_MLP", "0") or 0))
         if not (not training and n_views == 1 and not self.sp_conv
                 and self.sp_args["sp_type"] == "rel_z_decay"
                 and not self.is_initializing()):

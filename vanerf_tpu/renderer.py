@@ -202,6 +202,18 @@ def render_patch(model, params, batch: Dict[str, Any], *, rng,
     remat_mode = (int(os.environ.get("VANERF_REMAT_QUERY", "0") or 0)
                   if training else 0)
 
+    # VANERF_FUSED_TRAIN=<level> (training, n_views==1 only): run the G
+    # forward through the pallas fused query kernel (ops/fused_mlp.py)
+    # and differentiate the equivalent XLA composition in a custom_vjp
+    # backward (pallas kernels have no auto-VJP). Implies remat: the
+    # backward stores only the kernel INPUTS and recomputes the XLA
+    # forward. Sound because at n_views==1 query(training=True) ==
+    # query(training=False) (dropout needs n_views>1, model.py:804-810)
+    # and every differentiable input (params, pts, feature maps,
+    # q_vis/q_sdf) enters as an explicit argument — closures are data.
+    fused_train = (int(os.environ.get("VANERF_FUSED_TRAIN", "0") or 0)
+                   if training and n_views == 1 else 0)
+
     def query_at(z_depths, n_samples, key):
         """Sample points at depths, run mesh queries + the network."""
         if soa_points:
@@ -247,14 +259,40 @@ def render_patch(model, params, batch: Dict[str, Any], *, rng,
                 dropout_rng=drng, bounds=batch["bounds"], nn_idx=nn_idx,
                 method=model.query)
 
-        if remat_mode:
-            policy = (jax.checkpoint_policies
-                      .dots_with_no_batch_dims_saveable
-                      if remat_mode == 2 else None)
-            _net = jax.checkpoint(_net, policy=policy)
-        out, valid = _net(
-            params, pts, view, feat_geo, feat_tex, q_vis, q_sdf, nn_idx,
-            jax.random.fold_in(key, 1) if training else None)
+        if fused_train:
+            def _apply(params, pts, view, fg, ft, q_vis, q_sdf, nn_idx,
+                       fl):
+                return model.apply(
+                    params, pts, view, cam_in, fg, ft, src_img,
+                    batch["src_mask"], verts, vert_vis, q_vis, q_sdf,
+                    batch["kpt3d"], n_samples, n_views, False,
+                    dropout_rng=None, bounds=batch["bounds"],
+                    nn_idx=nn_idx, method=model.query, fused_override=fl)
+
+            @jax.custom_vjp
+            def _net(params, pts, view, fg, ft, q_vis, q_sdf, nn_idx):
+                return _apply(params, pts, view, fg, ft, q_vis, q_sdf,
+                              nn_idx, fused_train)
+
+            def _fwd(*args):
+                return _net(*args), args
+
+            def _bwd(res, ct):
+                _, vjp = jax.vjp(lambda *a: _apply(*a, 0), *res)
+                return vjp(ct)
+
+            _net.defvjp(_fwd, _bwd)
+            out, valid = _net(params, pts, view, feat_geo, feat_tex,
+                              q_vis, q_sdf, nn_idx)
+        else:
+            if remat_mode:
+                policy = (jax.checkpoint_policies
+                          .dots_with_no_batch_dims_saveable
+                          if remat_mode == 2 else None)
+                _net = jax.checkpoint(_net, policy=policy)
+            out, valid = _net(
+                params, pts, view, feat_geo, feat_tex, q_vis, q_sdf,
+                nn_idx, jax.random.fold_in(key, 1) if training else None)
 
         # eval_func (model.py:1140-1160)
         sdf_ch = valid * out[..., 0:1] + (1.0 - valid) * (0.1 / nml_scale)
