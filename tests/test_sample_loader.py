@@ -77,3 +77,40 @@ def test_close_idempotent_and_inline_close():
     pool.close()
     inline = SampleLoader(_DS(), 1)
     inline.close()
+
+
+def test_fit_dataset_smaller_than_batch(tmp_path):
+    """n < batch_size (e.g. --num_gpus x train_batch_size exceeding a tiny
+    dataset): the sample stream holds only n items, so batch assembly must
+    draw exactly the per-batch slice length and cyclically pad — not hang
+    waiting for batch_size items that will never come."""
+    import jax
+    import jax.numpy as jnp
+    from vanerf_tpu.training.loop import fit
+    from vanerf_tpu.training.train_step import TrainState
+
+    class Tiny:
+        def __len__(self):
+            return 2
+
+        def __getitem__(self, i):
+            return {"x": np.full((3,), i, np.float32)}
+
+    seen = []
+
+    def train_step(state, batch, rng):
+        seen.append(np.asarray(batch["x"]))
+        return state._replace(step=state.step + 1), {"loss": jnp.float32(0)}
+
+    def collate(items):
+        return {"x": np.stack([it["x"] for it in items])}
+
+    state = TrainState(params_g={"w": jnp.zeros(1)},
+                       params_d={"w": jnp.zeros(1)},
+                       opt_g=None, opt_d=None, step=jnp.int32(0))
+    cfg = {"training": {"max_epochs": 1, "train_batch_size": 4,
+                        "pl_cfg": {"val_check_interval": 10.0}}}
+    out = fit(train_step, state, Tiny(), collate, cfg=cfg,
+              save_dir=str(tmp_path), rng=jax.random.PRNGKey(0))
+    assert int(out.step) == 1
+    assert len(seen) == 1 and seen[0].shape == (4, 3)  # cyclic padding

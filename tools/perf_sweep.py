@@ -30,9 +30,10 @@ CONFIGS = {
 }
 
 
-# Training is n_views=1 too (configs/vanerf.json num_input_view), but the
-# fused query kernels are inference-only (no pallas VJP) — only the
-# layout/blocking flags apply to the train step.
+# Training is n_views=1 too (configs/vanerf.json num_input_view). The
+# layout/blocking flags apply directly; VANERF_REMAT_QUERY trades
+# backward HBM for recompute, and VANERF_FUSED_TRAIN runs the pallas
+# fused forward with an XLA custom_vjp backward (renderer.py).
 TRAIN_CONFIGS = {
     "base": {},
     "soa": {"VANERF_SOA_POINTS": "1"},

@@ -94,13 +94,23 @@ def run_test(model, state, dataset, cfg: dict, save_dir: str,
     evaluator = Evaluator(result_dir)
     faces = dataset.faces
 
-    params = state.params_g
-    scores = []
     n = len(dataset) if max_items is None else min(max_items, len(dataset))
     # overlap host-side item loading (decode/MANO) with device renders
     # (training.val_num_workers, the DataLoader-worker analog)
     from .training.loop import SampleLoader
     loader = SampleLoader(dataset, cfg["training"].get("val_num_workers", 1))
+    try:
+        return _run_test_inner(loader, n, model, state, cfg, save_dir,
+                               evaluator, faces, n_views, mesh,
+                               test_dst_name)
+    finally:
+        loader.close()
+
+
+def _run_test_inner(loader, n, model, state, cfg, save_dir, evaluator,
+                    faces, n_views, mesh, test_dst_name):
+    params = state.params_g
+    scores = []
     items = loader.ordered(range(n))
     for i, item in zip(range(n), items):
         if item is None:
@@ -140,7 +150,6 @@ def run_test(model, state, dataset, cfg: dict, save_dir: str,
             view_index=str(item.get("cam_ind", 0)))
         scores.append(s)
         print(f"[{i+1}/{n}]", {k: round(v, 4) for k, v in s.items()})
-    loader.close()
 
     results = {k: float(np.nanmean([s[k] for s in scores]))
                for k in scores[0]}

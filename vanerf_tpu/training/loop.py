@@ -75,9 +75,13 @@ class SampleLoader:
     a pure function and process workers cannot change semantics — only
     overlap image decode / jitter / MANO work with device compute.
 
-    Workers are forked and do numpy-only work; the JAX client is never
-    touched in a child (same contract as torch's fork-based workers and
-    CUDA). ``num_workers <= 1`` degrades to inline calls in the
+    Start method: ``forkserver`` by default (``VANERF_MP_START``
+    overrides). The parent has live threads by the time the pool is
+    created (SummaryWriter, XLA runtime), so a plain fork could freeze
+    a child on a lock held at fork time; forkserver forks workers from
+    a clean server process (the dataset travels to it by pickle once).
+    Workers do numpy-only work — the JAX client is never initialized in
+    a child. ``num_workers <= 1`` degrades to inline calls in the
     prefetcher thread (prior behavior).
     """
 
@@ -87,10 +91,24 @@ class SampleLoader:
         self.window = 1
         if num_workers > 1:
             import multiprocessing as mp
-            ctx = mp.get_context("fork")
+            method = os.environ.get("VANERF_MP_START", "forkserver")
+            ctx = mp.get_context(method)
             self.pool = ctx.Pool(num_workers, initializer=_pool_init,
                                  initargs=(dataset,))
             self.window = 2 * num_workers
+
+    def _get(self, res):
+        """AsyncResult.get that survives close(): a terminated pool never
+        delivers, so poll with a timeout and bail out once closed (else
+        an early fit() return would leave the prefetcher thread blocked
+        in get() forever)."""
+        import multiprocessing as mp
+        while True:
+            try:
+                return res.get(timeout=1.0)
+            except mp.TimeoutError:
+                if self.pool is None:
+                    raise RuntimeError("SampleLoader closed mid-iteration")
 
     def ordered(self, indices):
         """Yield dataset[i] for each index, in order; work runs in the
@@ -106,16 +124,16 @@ class SampleLoader:
             if len(pending) >= self.window:
                 break
         for i in it:
-            yield pending.popleft().get()
+            yield self._get(pending.popleft())
             pending.append(self.pool.apply_async(_pool_get, (int(i),)))
         while pending:
-            yield pending.popleft().get()
+            yield self._get(pending.popleft())
 
     def close(self):
         if self.pool is not None:
-            self.pool.terminate()
-            self.pool.join()
-            self.pool = None
+            pool, self.pool = self.pool, None
+            pool.terminate()
+            pool.join()
 
 
 class MetricLogger:
@@ -186,10 +204,15 @@ def fit(train_step: Callable, state: TrainState, dataset,
         for epoch in range(start_epoch, max_epochs):
             perm = order_rng.permutation(n)
             t_epoch = time.time()
-            samples = loader.ordered(perm[:steps_per_epoch * batch_size])
+            # exact per-batch index slices (the last slice may be short
+            # when n < batch_size); cyclic padding below restores shard
+            # divisibility
+            idx_lists = [perm[bi * batch_size:(bi + 1) * batch_size]
+                         for bi in range(steps_per_epoch)]
+            samples = loader.ordered(np.concatenate(idx_lists))
 
-            def make_batch(bi, samples=samples):
-                items = [next(samples) for _ in range(batch_size)]
+            def make_batch(bi, samples=samples, idx_lists=idx_lists):
+                items = [next(samples) for _ in range(len(idx_lists[bi]))]
                 items = [it for it in items if it is not None]
                 if not items:   # None-tolerant collate (model.py:123-132)
                     return ()
