@@ -151,3 +151,23 @@ def test_interhand_collate_renders_shape(fake_root):
     assert batch["verts"].shape == (1, 2 * 779, 3)
     assert batch["faces"].shape[1] == 3
     assert batch["tar_k"].shape == (1, 4, 4)
+
+
+def test_interhand_dataset_pickles_for_worker_pool(fake_root):
+    """The forkserver sample-loader ships the dataset to workers by
+    pickle; items must be identical across the roundtrip (dataset[i] is
+    index-seeded and pure)."""
+    import pickle
+    from vanerf_tpu.data.interhand import InterHandDataset
+
+    ds = InterHandDataset(split="train", data_root=fake_root,
+                          smplx_path=osp.join(fake_root, "nonexistent"),
+                          max_len=1, num_input_view=1)
+    ds2 = pickle.loads(pickle.dumps(ds))
+    a, b = ds[0], ds2[0]
+    assert (a is None) == (b is None)
+    if a is not None:
+        for k in a:
+            if np.ndim(a[k]) > 0:
+                np.testing.assert_array_equal(np.asarray(a[k]),
+                                              np.asarray(b[k]), err_msg=k)

@@ -114,3 +114,16 @@ def test_fit_dataset_smaller_than_batch(tmp_path):
               save_dir=str(tmp_path), rng=jax.random.PRNGKey(0))
     assert int(out.step) == 1
     assert len(seen) == 1 and seen[0].shape == (4, 3)  # cyclic padding
+
+
+def test_synthetic_dataset_pickles_for_worker_pool():
+    import pickle
+    from vanerf_tpu.data.synthetic import SyntheticDataset
+
+    ds = SyntheticDataset(split="train", H=32, W=32, subdiv=1)
+    ds2 = pickle.loads(pickle.dumps(ds))
+    a, b = ds[1], ds2[1]
+    for k in a:
+        if a[k] is not None and np.ndim(a[k]) > 0:
+            np.testing.assert_array_equal(np.asarray(a[k]),
+                                          np.asarray(b[k]), err_msg=k)
