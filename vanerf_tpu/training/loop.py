@@ -58,6 +58,17 @@ _POOL_DATASET = None
 
 def _pool_init(dataset):
     global _POOL_DATASET
+    # Workers are host-side: pin any jax use inside dataset[i] (e.g. the
+    # synthetic fixture's rasterizer) to the CPU platform BEFORE first
+    # backend init. Without this, each worker would initialize the
+    # default backend — on the remote-TPU ("axon") container that means
+    # one TPU client per worker contending on a single-tenancy tunnel.
+    # (Env-var forcing does not work here; only jax.config does.)
+    try:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
     _POOL_DATASET = dataset
 
 
