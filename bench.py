@@ -127,5 +127,44 @@ def main():
     }))
 
 
+def main_with_retries(tries: int = 4, delay_s: float = 90.0):
+    """The remote-TPU tunnel occasionally refuses backend init for a
+    while (observed: 'TPU backend setup/compile error (Unavailable)').
+    The driver runs this script once per round, so a transient outage
+    must not record nothing. jax caches a failed backend in-process, so
+    each attempt is a fresh subprocess; the last one's JSON line wins."""
+    import os
+    import subprocess
+    import sys
+
+    if os.environ.get("_VANERF_BENCH_CHILD"):
+        return main()
+
+    env = dict(os.environ, _VANERF_BENCH_CHILD="1")
+    for attempt in range(tries):
+        try:
+            p = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                               env=env, capture_output=True, text=True,
+                               timeout=1500)
+        except subprocess.TimeoutExpired as e:
+            # a down tunnel HANGS init rather than failing fast
+            def _s(x):
+                return x.decode() if isinstance(x, bytes) else (x or "")
+            p = subprocess.CompletedProcess(
+                e.cmd, returncode=-1, stdout=_s(e.stdout),
+                stderr=_s(e.stderr) + "\n[bench child timed out]")
+        lines = [l for l in p.stdout.splitlines() if l.startswith("{")]
+        if p.returncode == 0 and lines:
+            print(lines[-1])
+            return
+        sys.stderr.write(p.stderr[-2000:] + "\n")
+        if attempt < tries - 1:
+            print(f"bench attempt {attempt + 1}/{tries} failed "
+                  f"(rc={p.returncode}); retrying in {delay_s:.0f}s",
+                  file=sys.stderr)
+            time.sleep(delay_s)
+    sys.exit(1)
+
+
 if __name__ == "__main__":
-    main()
+    main_with_retries()
