@@ -110,8 +110,9 @@ def main(argv=None):
         if args.num_gpus != 1:
             from vanerf_tpu.parallel import make_mesh
             val_mesh = make_mesh(args.num_gpus)
+        spe = max(1, len(ds_train) // global_bs)
         run_test(model, state, ds_test, cfg, save_dir, n_views=n_views,
-                 mesh=val_mesh)
+                 mesh=val_mesh, epoch=int(state.step) // spe)
         return
 
     if args.synthetic_data:

@@ -88,7 +88,8 @@ def make_val_fn(model, disc, dataset, cfg: dict, vggloss, n_views: int = 1,
 
 def run_test(model, state, dataset, cfg: dict, save_dir: str,
              n_views: int = 1, max_items: Optional[int] = None,
-             tag: Optional[str] = None, mesh=None):
+             tag: Optional[str] = None, mesh=None,
+             epoch: Optional[int] = None):
     test_dst_name = tag or cfg.get("test_dst_name", "test")
     result_dir = os.path.join(save_dir, f"images_{test_dst_name}")
     evaluator = Evaluator(result_dir)
@@ -102,13 +103,13 @@ def run_test(model, state, dataset, cfg: dict, save_dir: str,
     try:
         return _run_test_inner(loader, n, model, state, cfg, save_dir,
                                evaluator, faces, n_views, mesh,
-                               test_dst_name)
+                               test_dst_name, epoch or 0)
     finally:
         loader.close()
 
 
 def _run_test_inner(loader, n, model, state, cfg, save_dir, evaluator,
-                    faces, n_views, mesh, test_dst_name):
+                    faces, n_views, mesh, test_dst_name, epoch=0):
     params = state.params_g
     scores = []
     items = loader.ordered(range(n))
@@ -160,7 +161,9 @@ def _run_test_inner(loader, n, model, state, cfg, save_dir, evaluator,
     results["vgg_random_init"] = not bool(
         os.environ.get("VANERF_VGG19_NPZ", ""))
     step = int(state.step)
-    path = os.path.join(save_dir, f"test_{test_dst_name}_0_{step}.yml")
+    # test_{name}_{epoch}_{step}.yml (ref model.py:110-121)
+    path = os.path.join(save_dir,
+                        f"test_{test_dst_name}_{epoch}_{step}.yml")
     with open(path, "w") as f:
         yaml.dump(results, f)
     print("Results saved in", path)
