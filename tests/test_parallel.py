@@ -182,3 +182,56 @@ def test_sharded_full_image_matches_single_device():
     np.testing.assert_allclose(np.asarray(out["alpha_fine"]),
                                np.asarray(ref["alpha_fine"]),
                                rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("envs", [
+    {"VANERF_REMAT_QUERY": "2"},
+    {"VANERF_FUSED_TRAIN": "1"},
+])
+def test_shard_map_composes_with_backward_modes(monkeypatch, envs):
+    """The remat / fused-train backward modes must compose with the DP
+    shard_map step (custom_vjp + pallas-interpret inside shard_map): one
+    2-device step runs, losses finite, params move."""
+    import jax
+    import jax.numpy as jnp
+    from vanerf_tpu import losses as L
+    from vanerf_tpu import config as vconfig
+    from vanerf_tpu.data import make_synthetic_batch
+    from vanerf_tpu.models import VANeRF, DiscriminatorVis
+    from vanerf_tpu.parallel import make_mesh, make_parallel_train_step
+    from vanerf_tpu.training.train_step import (create_train_state,
+                                                make_train_step)
+
+    for k, v in envs.items():
+        monkeypatch.setenv(k, v)
+
+    n_dev = 2
+    cfg = vconfig.default_cfg()
+    m = cfg["models"]["VANeRF"]
+    m["train_out_h"] = m["train_out_w"] = 8
+    m["geo_args"]["n_downsample"] = 2
+    m["dr_kwargs"]["sample_per_ray_c"] = 8
+    m["dr_kwargs"]["sample_per_ray_f"] = 8
+
+    batch_np, _faces, num_v = make_synthetic_batch(
+        batch_size=n_dev, H=32, W=32, subdiv=1)
+    batch = jax.tree.map(jnp.asarray, batch_np)
+    model = VANeRF.from_config(cfg, num_v=num_v)
+    disc = DiscriminatorVis()
+    rng = jax.random.PRNGKey(0)
+    state, (tx_g, tx_d) = create_train_state(
+        model, disc, rng, batch_np, cfg, steps_per_epoch=10)
+    vgg = L.VGGLoss(dummy_hw=8)
+    step = make_train_step(model, disc, tx_g, tx_d, cfg, vgg)
+
+    leaf_old = np.asarray(jax.tree.leaves(state.params_g)[0]).copy()
+    mesh = make_mesh(n_dev)
+    with mesh:
+        pstep = make_parallel_train_step(step, mesh, batch)
+        new_state, logs = pstep(state, batch, jax.random.PRNGKey(1))
+        jax.block_until_ready(logs)
+
+    for k, v in logs.items():
+        assert np.isfinite(float(v)), f"non-finite {k} under {envs}"
+    leaf_new = np.asarray(jax.tree.leaves(new_state.params_g)[0])
+    assert np.abs(leaf_new - leaf_old).max() > 0
