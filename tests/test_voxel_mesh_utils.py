@@ -106,3 +106,47 @@ def test_sp_conv_model_forward_tiny():
     out, valid = model.apply(variables, *args, bounds=bounds)
     assert out.shape == (B, n, 5)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sp_conv_model_grads_finite_tiny():
+    """The voxel branch must be differentiable end-to-end (scatter /
+    trilinear-sample VJPs): grads of a scalar loss wrt params are finite
+    and not identically zero."""
+    from vanerf_tpu import config as vconfig
+    from vanerf_tpu.models import VANeRF
+
+    cfg = vconfig.default_cfg()
+    m = cfg["models"]["VANeRF"]
+    m["sp_conv"] = True
+    m["geo_args"]["n_downsample"] = 2
+    model = VANeRF.from_config(cfg, num_v=10)
+    model = model.clone(voxel_grid=(32, 32, 32))
+
+    B, V2, H, W = 1, 20, 32, 32
+    n = 8
+    key = jax.random.PRNGKey(0)
+    im = jnp.ones((B, H, W, 3)) * 0.5
+    fg = jnp.ones((B, H, W, 1))
+    pts = jax.random.normal(key, (B, n, 3)) * 0.05
+    view = jnp.ones((B, n, 3)) / np.sqrt(3)
+    K = jnp.eye(4).at[0, 0].set(100.0).at[1, 1].set(100.0) \
+        .at[0, 2].set(W / 2).at[1, 2].set(H / 2)[None]
+    Rt = jnp.eye(4).at[2, 3].set(1.0)[None]
+    cam = {"KRT": K @ Rt, "extrin": Rt, "width": W, "height": H,
+           "znear": 0.5, "zfar": 2.0}
+    verts = jax.random.normal(jax.random.PRNGKey(1), (B, V2, 3)) * 0.05
+    bounds = jnp.asarray([[[-0.1, -0.1, -0.1], [0.1, 0.1, 0.1]]])
+    args = (im, pts, view, cam, fg, verts, jnp.ones((B, V2, 1)),
+            jnp.ones((B, n, 1)), jnp.zeros((B, n, 1)),
+            jnp.zeros((B, 42, 3)), 4, 1)
+    variables = model.init(key, *args, bounds=bounds)
+
+    def loss(v):
+        out, valid = model.apply(v, *args, bounds=bounds)
+        return jnp.sum(out ** 2)
+
+    g = jax.grad(loss)(variables)
+    leaves = jax.tree.leaves(g)
+    assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+    total = sum(float(jnp.sum(jnp.abs(x))) for x in leaves)
+    assert total > 0
