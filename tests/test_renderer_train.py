@@ -409,3 +409,30 @@ def test_gradient_accumulation_defers_updates(setup):
     s2, logs2 = step(s1, batch, jax.random.PRNGKey(7))
     leaf2 = np.asarray(jax.tree.leaves(s2.params_g)[0])
     assert not np.array_equal(leaf1, leaf2)         # applied on 2nd batch
+
+
+@pytest.mark.slow
+def test_train_step_two_views_smoke():
+    """GAN step at V=2 source views: exercises the view-dropout
+    regularizer (ref model.py:804-810, training + n_views>1 only) and the
+    multi-view IBR/fusion paths under grad. Losses finite, params move."""
+    import optax
+    cfg = tiny_cfg()
+    batch_np, faces, num_v = make_synthetic_batch(
+        batch_size=1, H=32, W=32, subdiv=1, num_input_view=2)
+    batch = jax.tree.map(jnp.asarray, batch_np)
+    model = VANeRF.from_config(cfg, num_v=num_v)
+    disc = DiscriminatorVis()
+    rng = jax.random.PRNGKey(3)
+    state, (tx_g, tx_d) = create_train_state(
+        model, disc, rng, batch, cfg, steps_per_epoch=10, n_views=2)
+    vgg = L.VGGLoss(dummy_hw=8)
+    step = jax.jit(make_train_step(model, disc, tx_g, tx_d, cfg, vgg,
+                                   n_views=2))
+    new_state, logs = step(state, batch, jax.random.PRNGKey(4))
+    for k, v in logs.items():
+        assert np.isfinite(float(v)), f"non-finite {k}"
+    diff = sum(float(jnp.sum((a - b) ** 2)) for a, b in
+               zip(jax.tree.leaves(state.params_g),
+                   jax.tree.leaves(new_state.params_g)))
+    assert diff > 0
