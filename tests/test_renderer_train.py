@@ -436,3 +436,26 @@ def test_train_step_two_views_smoke():
                zip(jax.tree.leaves(state.params_g),
                    jax.tree.leaves(new_state.params_g)))
     assert diff > 0
+
+
+@pytest.mark.slow
+def test_val_fn_logs_components(setup):
+    """make_val_fn returns val_total_loss plus every loss component with
+    the reference's val/ prefix (ref model.py:570-572)."""
+    from vanerf_tpu.data.synthetic import SyntheticDataset
+    from vanerf_tpu.eval_loop import make_val_fn
+
+    cfg, model, batch, num_v = setup
+    ds = SyntheticDataset(split="test", n_frames=1, H=32, W=32, subdiv=1)
+    disc = DiscriminatorVis()
+    rng = jax.random.PRNGKey(1)
+    state, _ = create_train_state(model, disc, rng, batch, cfg,
+                                  steps_per_epoch=10)
+    vgg = L.VGGLoss(dummy_hw=8)
+    val_fn = make_val_fn(model, disc, ds, cfg, vgg, max_items=1)
+    logs = val_fn(state, 0, None)
+    assert "val_total_loss" in logs and np.isfinite(logs["val_total_loss"])
+    comp = [k for k in logs if k.startswith("val/")]
+    assert comp, f"no val/ component losses in {sorted(logs)}"
+    for k in comp:
+        assert np.isfinite(logs[k]), k

@@ -42,6 +42,7 @@ def make_val_fn(model, disc, dataset, cfg: dict, vggloss, n_views: int = 1,
 
     def val_fn(state, step, logger):
         losses = []
+        comps = []
         for i in range(n):
             item = dataset[i]
             if item is None:
@@ -66,6 +67,8 @@ def make_val_fn(model, disc, dataset, cfg: dict, vggloss, n_views: int = 1,
                 out["tar_densepose"], batch["tar_img"])
             loss = loss + g_nonsaturating_loss(fake_pred)
             losses.append(float(loss))
+            comps.append({k: float(v) for k, v in err.items()
+                          if np.ndim(v) == 0})
 
             if i == 0 and logger is not None:
                 def g(x):
@@ -81,7 +84,12 @@ def make_val_fn(model, disc, dataset, cfg: dict, vggloss, n_views: int = 1,
                 logger.log_image(step, "val/renderings", strip)
         if not losses:
             return {}
-        return {"val_total_loss": float(np.mean(losses))}
+        # per-component val losses with the reference's val/ prefix
+        # (ref model.py:570-572 logs every err_dict entry)
+        logs = {f"val/{k}": float(np.mean([c[k] for c in comps]))
+                for k in comps[0]}
+        logs["val_total_loss"] = float(np.mean(losses))
+        return logs
 
     return val_fn
 
