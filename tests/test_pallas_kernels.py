@@ -298,6 +298,54 @@ def test_pallas_nearest_vertex_T_bit_identical():
     np.testing.assert_array_equal(np.asarray(d2b), np.asarray(d2a))
 
 
+def test_pallas_nearest_vertex_culled_bit_identical():
+    """Landmark-culled KNN kernels vs the brute kernel (VANERF_KNN_CULL).
+
+    Bit-identical idx AND d2: the cull tolerance keeps every chunk that
+    could contain the minimum and the per-chunk math is unchanged.
+    Two vertex clusters ~"two hands" apart + per-tile point clusters make
+    the cull lists genuinely sparse (asserted via the list builder).
+    """
+    from vanerf_tpu.ops import knn_pallas as kp
+    rng = np.random.default_rng(3)
+    # index-coherent clusters (sorted along x) emulate MANO's anatomically
+    # coherent vertex order — random order would give every chunk a
+    # cluster-wide AABB and nothing would cull
+    h0 = rng.normal(size=(779, 3)).astype(np.float32) * 40.0
+    h1 = rng.normal(size=(779, 3)).astype(np.float32) * 40.0 + 300.0
+    verts = np.concatenate([h0[np.argsort(h0[:, 0])],
+                            h1[np.argsort(h1[:, 0])]])
+    # 4 tiles of 256 points, each tight around a different spot
+    centers = np.array([[0, 0, 0], [300, 300, 300], [150, 150, 150],
+                        [-80, 40, 10]], np.float32)
+    pts = (centers[:, None] + rng.normal(size=(4, 256, 3)) * 15.0
+           ).reshape(-1, 3).astype(np.float32)
+    verts_j = jnp.asarray(verts)
+    pts_j = jnp.asarray(pts)
+
+    ia, d2a = kp.nearest_vertex_d2_pallas(pts_j, verts_j, interpret=True)
+    ic, d2c = kp.nearest_vertex_d2_pallas_culled(pts_j, verts_j,
+                                                 interpret=True)
+    np.testing.assert_array_equal(np.asarray(ic), np.asarray(ia))
+    np.testing.assert_array_equal(np.asarray(d2c), np.asarray(d2a))
+
+    it, d2t = kp.nearest_vertex_d2_pallas_T_culled(
+        jnp.transpose(pts_j, (1, 0)), verts_j, interpret=True)
+    np.testing.assert_array_equal(np.asarray(it), np.asarray(ia))
+    np.testing.assert_array_equal(np.asarray(d2t), np.asarray(d2a))
+
+    # the clustered tiles must actually cull: every tile visits fewer
+    # than all chunks
+    vt = jnp.pad(verts_j.T, ((0, 0), (0, (-1558) % kp.VERT_CHUNK)),
+                 mode="edge")
+    ptile = pts_j.reshape(4, 256, 3)
+    maskf = kp._knn_cull_lists(ptile.min(1), ptile.max(1), vt,
+                               kp.VERT_CHUNK)
+    counts = np.asarray(maskf).reshape(4, 128)[:, 127]
+    n_chunks = vt.shape[1] // kp.VERT_CHUNK
+    assert counts.sum() < 0.7 * 4 * n_chunks, counts
+
+
 def test_pallas_nearest_vertex_matches_xla():
     """Brute nearest-vertex kernel vs the exact difference-form fallback.
 

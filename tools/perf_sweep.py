@@ -27,6 +27,11 @@ CONFIGS = {
                        "VANERF_BLOCK_2D": "4,4,4",
                        "VANERF_MESH_TILE_P": "64"},
     "f2": {"VANERF_FUSED_MLP": "2"},
+    # landmark-culled KNN kernel (ops/knn_pallas.py): cull quality depends
+    # on point-tile locality, so measure with and without 2-D blocking
+    "knn_cull": {"VANERF_KNN_CULL": "1"},
+    "knn_cull_b2d": {"VANERF_KNN_CULL": "1", "VANERF_BLOCK_2D": "4,4,8"},
+    "knn_cull_soa": {"VANERF_KNN_CULL": "1", "VANERF_SOA_POINTS": "1"},
 }
 
 
@@ -45,6 +50,7 @@ TRAIN_CONFIGS = {
     "ft1": {"VANERF_FUSED_TRAIN": "1"},
     "ft2": {"VANERF_FUSED_TRAIN": "2"},
     "ft2_soa": {"VANERF_FUSED_TRAIN": "2", "VANERF_SOA_POINTS": "1"},
+    "knn_cull": {"VANERF_KNN_CULL": "1"},
 }
 
 

@@ -31,6 +31,9 @@ def nearest_vertex_d2(query: jnp.ndarray, verts: jnp.ndarray,
     use_pallas = (backend == "pallas"
                   or (backend == "auto" and jax.default_backend() == "tpu"))
     if use_pallas:
+        if os.environ.get("VANERF_KNN_CULL"):
+            from .knn_pallas import nearest_vertex_d2_pallas_culled
+            return nearest_vertex_d2_pallas_culled(query, verts)
         from .knn_pallas import nearest_vertex_d2_pallas
         return nearest_vertex_d2_pallas(query, verts)
     N = query.shape[0]
@@ -68,6 +71,9 @@ def nearest_vertex_d2_T(query_T: jnp.ndarray, verts: jnp.ndarray,
     use_pallas = (backend == "pallas"
                   or (backend == "auto" and jax.default_backend() == "tpu"))
     if use_pallas:
+        if os.environ.get("VANERF_KNN_CULL"):
+            from .knn_pallas import nearest_vertex_d2_pallas_T_culled
+            return nearest_vertex_d2_pallas_T_culled(query_T, verts)
         from .knn_pallas import nearest_vertex_d2_pallas_T
         return nearest_vertex_d2_pallas_T(query_T, verts)
     return nearest_vertex_d2(jnp.transpose(query_T, (1, 0)), verts,
