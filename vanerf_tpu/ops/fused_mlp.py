@@ -39,9 +39,15 @@ TILE_N = 256
 
 
 def _softplus100(x):
-    """torch Softplus(beta=100, threshold=20): linear above 20/100."""
-    return jnp.where(x * 100.0 > 20.0, x,
-                     jnp.logaddexp(x * 100.0, 0.0) / 100.0)
+    """torch Softplus(beta=100, threshold=20): linear above 20/100.
+
+    The predicate and logaddexp run in f32: Mosaic cannot lower packed
+    bf16 vector comparisons on v5e ("Target does not support this
+    comparison"), and f32 transcendentals are what the VPU runs anyway.
+    """
+    xf = x.astype(jnp.float32) * 100.0
+    return jnp.where(xf > 20.0, x,
+                     (jnp.logaddexp(xf, 0.0) / 100.0).astype(x.dtype))
 
 
 def _dot(x, w_ref):
@@ -200,14 +206,20 @@ def _gate_fuse(parts, at0_refs, at1_ref, fu0_refs, fu1_ref, *, cdt,
     acc = _dot(parts[0], at0_refs[0])
     for i in range(1, len(parts)):
         acc = acc + _dot(parts[i], at0_refs[i])
-    g = jax.nn.sigmoid(_dot(jax.nn.relu(acc.astype(cdt)),
-                            at1_ref).astype(cdt))
+    # relu on the f32 accumulator, then round: same values as
+    # relu(round(x)) (rounding is monotone, round(0)=0) and avoids packed
+    # bf16 maximumf, which Mosaic may not lower on v5e.  The sigmoid runs
+    # in f32 on the cdt-rounded input for the same reason (Mosaic's bf16
+    # lax.logistic lowering emits an ill-typed f32->bf16 broadcast).
+    g = jax.nn.sigmoid(_dot(jax.nn.relu(acc).astype(cdt),
+                            at1_ref).astype(cdt).astype(jnp.float32)
+                       ).astype(cdt)
     acc = None
     for i, p in enumerate(parts):
         pg = p * g[:, i:i + 1] if i < n_gated else p
         d = _dot(pg, fu0_refs[i])
         acc = d if acc is None else acc + d
-    return _dot(jax.nn.relu(acc.astype(cdt)), fu1_ref).astype(cdt)
+    return _dot(jax.nn.relu(acc).astype(cdt), fu1_ref).astype(cdt)
 
 
 def _kernel_full(cxyz_ref, kpt_ref, feats_ref, g2_ref, *, refs, sp_level,
