@@ -220,8 +220,9 @@ def test_cal_vis_sdf_prepared_T_matches(mesh_and_points):
             *a, **{**k, "interpret": True})
         try:
             mesh = mq.prepare_culled_mesh(verts, faces, vert_vis)
-            sdf_a, qv_a = mq.cal_vis_sdf_prepared(mesh, pts, ub, n_samples=S)
-            sdf_b, qv_b = mq.cal_vis_sdf_prepared_T(
+            sdf_a, qv_a, _ = mq.cal_vis_sdf_prepared(mesh, pts, ub,
+                                                     n_samples=S)
+            sdf_b, qv_b, _ = mq.cal_vis_sdf_prepared_T(
                 mesh, jnp.transpose(pts, (1, 0)), ub, n_samples=S)
         finally:
             mqp.point_mesh_query_vis_culled = orig
@@ -276,10 +277,12 @@ def test_cal_vis_sdf_prepared_T_block2d_matches(mesh_and_points,
         mqp, "point_mesh_query_vis_culled_T",
         lambda *a, **k: orig_T(*a, **{**k, "interpret": True}))
     mesh = mq.prepare_culled_mesh(verts, faces, vert_vis)
-    sdf_a, qv_a = mq.cal_vis_sdf_prepared_T(mesh, pts_T, ub, n_samples=S)
+    sdf_a, qv_a, _ = mq.cal_vis_sdf_prepared_T(mesh, pts_T, ub,
+                                               n_samples=S)
     monkeypatch.setenv("VANERF_BLOCK_2D", "4,4,8")
-    sdf_b, qv_b = mq.cal_vis_sdf_prepared_T(mesh, pts_T, ub, n_samples=S,
-                                            rays_hw=(4, 8))
+    sdf_b, qv_b, _ = mq.cal_vis_sdf_prepared_T(mesh, pts_T, ub,
+                                               n_samples=S,
+                                               rays_hw=(4, 8))
     np.testing.assert_allclose(np.asarray(sdf_b), np.asarray(sdf_a),
                                rtol=1e-5, atol=1e-7)
     np.testing.assert_array_equal(np.asarray(qv_b), np.asarray(qv_a))
@@ -364,3 +367,75 @@ def test_pallas_nearest_vertex_matches_xla():
     np.testing.assert_array_equal(np.asarray(ip), np.asarray(ie))
     np.testing.assert_allclose(np.asarray(d2p), np.asarray(d2e), rtol=1e-6,
                                atol=1e-9)
+
+
+def test_far_field_tier_semantics(mesh_and_points, monkeypatch):
+    """VANERF_FAR_TAU tier rule (cal_vis_sdf_prepared far2=):
+
+    - far tiles (every point's nearest-vertex d2 > tau^2 within a TILE_P
+      kernel tile): |sdf| == sqrt(nn_d2 + 1e-6), sign == exact winding
+      sign, query_vis == 0, far mask True;
+    - all other points: bit-identical to the exact culled run;
+    - the CPU fallback implements the identical rule.
+    """
+    import os
+    from vanerf_tpu.ops import mesh_query as mq
+    import vanerf_tpu.ops.mesh_query_pallas as mqp
+    tri, pts_near = mesh_and_points
+    F = tri.shape[0]
+    verts = jnp.asarray(np.asarray(tri).reshape(-1, 3))
+    faces = jnp.arange(F * 3, dtype=jnp.int32).reshape(F, 3)
+    vert_vis = jnp.asarray(
+        (np.random.default_rng(11).random((F * 3, 1)) > 0.5)
+        .astype(np.float32))
+    # first 128-point tile near the mesh, second tile displaced far out
+    pts = jnp.concatenate(
+        [pts_near[:128], pts_near[128:] + jnp.asarray([0.9, 0.0, 0.0])], 0)
+    S = 8
+    corners = np.asarray(tri).reshape(-1, 3)
+    d2v = ((np.asarray(pts)[:, None] - corners[None]) ** 2).sum(-1).min(-1)
+    ub = jnp.asarray(d2v.astype(np.float32))
+    tau = 0.3                                    # 2nd tile is ~0.9 away
+
+    monkeypatch.setenv("VANERF_MESH_BACKEND", "pallas")
+    orig = mqp.point_mesh_query_vis_culled
+    monkeypatch.setattr(
+        mqp, "point_mesh_query_vis_culled",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+    mesh = mq.prepare_culled_mesh(verts, faces, vert_vis)
+    sdf_e, qv_e, far_e = mq.cal_vis_sdf_prepared(mesh, pts, ub,
+                                                 n_samples=S)
+    assert far_e is None
+    sdf_f, qv_f, far_f = mq.cal_vis_sdf_prepared(mesh, pts, ub,
+                                                 n_samples=S,
+                                                 far2=tau * tau)
+    far_f = np.asarray(far_f)
+    # the tier rule is over kernel tiles in BLOCKED order (16 rays x 8
+    # samples); recompute the expected mask the same way
+    from vanerf_tpu.ops.mesh_query import to_blocked, from_blocked
+    ub_b = to_blocked(ub, 32, S, 16, 8)
+    exp_t = np.asarray(ub_b).reshape(2, 128).min(1) > tau * tau
+    exp_far = np.asarray(from_blocked(
+        jnp.repeat(jnp.asarray(exp_t), 128), 32, S, 16, 8))
+    np.testing.assert_array_equal(far_f, exp_far)
+    assert far_f.any() and not far_f.all()
+    nf = ~far_f
+    np.testing.assert_array_equal(np.asarray(sdf_f)[nf],
+                                  np.asarray(sdf_e)[nf])
+    np.testing.assert_array_equal(np.asarray(qv_f)[nf],
+                                  np.asarray(qv_e)[nf])
+    sign_e = np.where(np.asarray(sdf_e) < 0, -1.0, 1.0)
+    np.testing.assert_allclose(
+        np.asarray(sdf_f)[far_f],
+        (sign_e * np.sqrt(np.asarray(ub) + 1e-6))[far_f], rtol=1e-6)
+    assert (np.asarray(qv_f)[far_f] == 0).all()
+
+    # CPU fallback: identical tier rule (sign from the exact sdf)
+    monkeypatch.setenv("VANERF_MESH_BACKEND", "xla")
+    sdf_c, qv_c, far_c = mq.cal_vis_sdf_prepared(mesh, pts, ub,
+                                                 n_samples=S,
+                                                 far2=tau * tau)
+    np.testing.assert_array_equal(np.asarray(far_c), exp_far)
+    np.testing.assert_allclose(np.asarray(sdf_c)[far_f],
+                               np.asarray(sdf_f)[far_f], rtol=1e-5)
+    assert (np.asarray(qv_c)[far_f] == 0).all()

@@ -459,3 +459,49 @@ def test_val_fn_logs_components(setup):
     assert comp, f"no val/ component losses in {sorted(logs)}"
     for k in comp:
         assert np.isfinite(logs[k]), k
+
+
+@pytest.mark.slow
+def test_render_patch_far_tau(setup, monkeypatch):
+    """VANERF_FAR_TAU far-field tier plumbing through the renderer.
+
+    With a huge tau no tile qualifies and the render must be bit-identical
+    to the exact path (the mask machinery adds nothing); with a tiny tau
+    (virtually) every tile is far — the render must stay finite and
+    actually diverge from the exact run (the tier engaged).
+    """
+    cfg, model, batch, _ = setup
+    rng = jax.random.PRNGKey(5)
+    B = batch["tar_k"].shape[0]
+    grids = mask_centered_grid(rng, batch["tar_mask"][..., 0], 8, 8)
+    n = 4
+    V2 = batch["verts"].shape[1]
+    cam = {"KRT": batch["src_krt"], "extrin": batch["src_extrin"],
+           "width": 32, "height": 32, "znear": batch["znear"],
+           "zfar": batch["zfar"]}
+    params = model.init(rng, batch["src_img"], jnp.zeros((B, n, 3)),
+                        jnp.ones((B, n, 3)), cam, batch["src_mask"],
+                        batch["verts"], jnp.ones((B, V2, 1)),
+                        jnp.ones((B, n, 1)), jnp.zeros((B, n, 1)),
+                        batch["kpt3d"], n)
+
+    def run():
+        return render_patch(model, params, batch, rng=rng, grids=grids,
+                            out_h=8, out_w=8, sample_per_ray_c=8,
+                            sample_per_ray_f=8, fine=True, training=False,
+                            sdf_chunk=64)
+
+    out_exact = run()
+    monkeypatch.setenv("VANERF_FAR_TAU", "1000.0")
+    out_none_far = run()
+    for k in out_exact:
+        np.testing.assert_array_equal(np.asarray(out_none_far[k]),
+                                      np.asarray(out_exact[k]),
+                                      err_msg=k)
+
+    monkeypatch.setenv("VANERF_FAR_TAU", "1e-4")
+    out_far = run()
+    for k, v in out_far.items():
+        assert np.isfinite(np.asarray(v)).all(), f"non-finite {k}"
+    assert not np.allclose(np.asarray(out_far["tex_fg_fine"]),
+                           np.asarray(out_exact["tex_fg_fine"]))

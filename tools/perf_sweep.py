@@ -32,6 +32,10 @@ CONFIGS = {
     "knn_cull": {"VANERF_KNN_CULL": "1"},
     "knn_cull_b2d": {"VANERF_KNN_CULL": "1", "VANERF_BLOCK_2D": "4,4,8"},
     "knn_cull_soa": {"VANERF_KNN_CULL": "1", "VANERF_SOA_POINTS": "1"},
+    # far-field mesh-query tier (approximate: nearest-vertex distance
+    # stands in beyond tau; see renderer.py VANERF_FAR_TAU comment)
+    "far02": {"VANERF_FAR_TAU": "0.02"},
+    "far03": {"VANERF_FAR_TAU": "0.03"},
 }
 
 
@@ -51,6 +55,7 @@ TRAIN_CONFIGS = {
     "ft2": {"VANERF_FUSED_TRAIN": "2"},
     "ft2_soa": {"VANERF_FUSED_TRAIN": "2", "VANERF_SOA_POINTS": "1"},
     "knn_cull": {"VANERF_KNN_CULL": "1"},
+    "far02": {"VANERF_FAR_TAU": "0.02"},
 }
 
 

@@ -177,6 +177,7 @@ class VANeRF(nn.Module):
               n_samples: int, n_views: int = 1, training: bool = False,
               dropout_rng: Optional[jax.Array] = None, bounds=None,
               nn_idx: Optional[jnp.ndarray] = None,
+              far_mask: Optional[jnp.ndarray] = None,
               fused_override: Optional[int] = None):
         """Evaluate (sdf_channel, radiance, rgb) at world points.
 
@@ -396,6 +397,14 @@ class VANeRF(nn.Module):
             f_s, f_toh_s, vis_th, vis_toh = knn_gather_1(
                 v, vert_rep, shared, vert_vis_rep, self.num_v,
                 nn_idx=nn_idx)
+            if far_mask is not None:
+                # far-field mesh-query tier (renderer VANERF_FAR_TAU):
+                # the exact barycentric face visibility was skipped for
+                # far points; the nearest vertex's visibility — already in
+                # this gather — stands in
+                far_rep = (jnp.repeat(far_mask, n_views, axis=0)
+                           if n_views != 1 else far_mask)
+                q_vis_rep = jnp.where(far_rep, vis_th, q_vis_rep)
             cg = gv.shape[-1]
             geo_knn = (f_s[..., :cg], f_toh_s[..., :cg], vis_th, vis_toh)
             tex_knn = (f_s[..., cg:], f_toh_s[..., cg:], vis_th, vis_toh)

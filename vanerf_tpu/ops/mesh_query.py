@@ -348,9 +348,25 @@ def prepare_culled_mesh(verts: jnp.ndarray, faces: jnp.ndarray,
     return out
 
 
+def _far_tiles(ub_b: jnp.ndarray, far2: float):
+    """Per-kernel-tile far flags + their per-point broadcast.
+
+    A tile (TILE_P consecutive points in the kernel's layout) is "far"
+    when EVERY point's certified squared-distance upper bound exceeds
+    ``far2``: the exact nearest-face search is then skipped and the
+    nearest-vertex distance stands in (error bounded by the face covering
+    radius; such points are at least sqrt(far2) from the surface, where
+    the sigmoid-beta density is saturated).  The winding-number sign stays
+    exact.  Requires len(ub_b) % TILE_P == 0 (callers guard).
+    """
+    from .mesh_query_pallas import TILE_P
+    far_t = ub_b.reshape(-1, TILE_P).min(1) > far2
+    return far_t, jnp.repeat(far_t, TILE_P)
+
+
 def cal_vis_sdf_prepared(mesh: dict, points: jnp.ndarray,
                          ub_d2: jnp.ndarray, n_samples: int | None = None,
-                         chunk: int = 2048):
+                         chunk: int = 2048, far2: float | None = None):
     """cal_vis_sdf_fast with branch-and-bound face culling (TPU).
 
     Args:
@@ -359,14 +375,40 @@ def cal_vis_sdf_prepared(mesh: dict, points: jnp.ndarray,
       ub_d2: (N,) certified squared-distance upper bound per point (the
         nearest-vertex squared distance from the KNN kernel).
       n_samples: samples per ray — enables the blocked spatial relayout.
-    Returns sdf (N,), query_vis (N, 1), like :func:`cal_vis_sdf_fast`.
+      far2: optional squared far-field threshold (see :func:`_far_tiles`).
+        Far points return |sdf| = sqrt(ub_d2 + 1e-6) with the exact
+        winding sign and query_vis = 0 — callers substitute the
+        nearest-vertex visibility via the returned mask.
+    Returns sdf (N,), query_vis (N, 1), far (N,) bool or None.
     """
+    from .mesh_query_pallas import TILE_P
+    N = points.shape[0]
+    if far2 is not None and N % TILE_P != 0:
+        far2 = None
     if not _use_pallas():
-        return cal_vis_sdf_fast(mesh["verts"], mesh["faces"], points,
-                                mesh["vert_vis"], chunk=chunk)
+        sdf, qvis = cal_vis_sdf_fast(mesh["verts"], mesh["faces"], points,
+                                     mesh["vert_vis"], chunk=chunk)
+        if far2 is None:
+            return sdf, qvis, None
+        # identical tier rule as the kernel path: tiles over the kernel's
+        # (blocked) point order
+        blocks = None
+        if n_samples is not None and N % n_samples == 0:
+            blocks = blocked_order(N // n_samples, n_samples)
+        if blocks is not None:
+            rb, sb = blocks
+            P = N // n_samples
+            ub_b = to_blocked(ub_d2, P, n_samples, rb, sb)
+            _ft, far_b = _far_tiles(ub_b, far2)
+            far = from_blocked(far_b, P, n_samples, rb, sb)
+        else:
+            _ft, far = _far_tiles(ub_d2, far2)
+        sign = jnp.where(sdf < 0, -1.0, 1.0)
+        sdf = jnp.where(far, sign * jnp.sqrt(ub_d2 + 1e-6), sdf)
+        qvis = jnp.where(far[:, None], 0.0, qvis)
+        return sdf, qvis, far
     from .mesh_query_pallas import point_mesh_query_vis_culled
     points = points - mesh["center"]          # see prepare_culled_mesh
-    N = points.shape[0]
     blocks = None
     if n_samples is not None and N % n_samples == 0:
         blocks = blocked_order(N // n_samples, n_samples)
@@ -378,23 +420,34 @@ def cal_vis_sdf_prepared(mesh: dict, points: jnp.ndarray,
     else:
         pts_b, ub_b = points, ub_d2
 
-    d2, _idx, w, qv = point_mesh_query_vis_culled(
-        pts_b, None, None, ub_b, prep=mesh["prep"])
+    far_t = far_b = None
+    if far2 is not None:
+        far_t, far_b = _far_tiles(ub_b, far2)
 
+    d2, _idx, w, qv = point_mesh_query_vis_culled(
+        pts_b, None, None, ub_b, prep=mesh["prep"], far_t=far_t)
+
+    far = far_b
     if blocks is not None:
-        packed = jnp.stack([d2, w, qv], -1)
+        cols = [d2, w, qv]
+        if far_b is not None:
+            cols.append(far_b.astype(d2.dtype))
+        packed = jnp.stack(cols, -1)
         packed = from_blocked(packed, P, n_samples, rb, sb)
         d2, w, qv = packed[:, 0], packed[:, 1], packed[:, 2]
+        if far_b is not None:
+            far = packed[:, 3] > 0.5
     dist = jnp.sqrt(d2 + 1e-6)
     sign = jnp.where(w > 0.5, -1.0, 1.0)
     qvis = (qv >= 1e-1).astype(points.dtype)[:, None]
-    return dist * sign, qvis
+    return dist * sign, qvis, far
 
 
 def cal_vis_sdf_prepared_T(mesh: dict, points_T: jnp.ndarray,
                            ub_d2: jnp.ndarray,
                            n_samples: int | None = None, chunk: int = 2048,
-                           rays_hw: tuple | None = None):
+                           rays_hw: tuple | None = None,
+                           far2: float | None = None):
     """Transposed-input :func:`cal_vis_sdf_prepared`.
 
     Takes (3, N) points (the packed TPU layout — see
@@ -404,14 +457,20 @@ def cal_vis_sdf_prepared_T(mesh: dict, points_T: jnp.ndarray,
 
     rays_hw: optional (H, W) shape of the ray grid (rays row-major) —
     enables 2-D pixel blocking when VANERF_BLOCK_2D is set.
+    far2: optional squared far-field threshold (see
+    :func:`cal_vis_sdf_prepared`).
     """
+    from .mesh_query_pallas import TILE_P
+    N = points_T.shape[1]
+    if far2 is not None and N % TILE_P != 0:
+        far2 = None
     if not _use_pallas():
-        return cal_vis_sdf_fast(mesh["verts"], mesh["faces"],
-                                jnp.transpose(points_T, (1, 0)),
-                                mesh["vert_vis"], chunk=chunk)
+        sdf, qvis, far = cal_vis_sdf_prepared(
+            mesh, jnp.transpose(points_T, (1, 0)), ub_d2,
+            n_samples=n_samples, chunk=chunk, far2=far2)
+        return sdf, qvis, far
     from .mesh_query_pallas import point_mesh_query_vis_culled_T
     points_T = points_T - mesh["center"][:, None]
-    N = points_T.shape[1]
     blocks = blocks2d = None
     if n_samples is not None and N % n_samples == 0:
         if rays_hw is not None and rays_hw[0] * rays_hw[1] * n_samples == N:
@@ -433,22 +492,31 @@ def cal_vis_sdf_prepared_T(mesh: dict, points_T: jnp.ndarray,
     else:
         pts_b, ub_b = points_T, ub_d2
 
-    d2, _idx, w, qv = point_mesh_query_vis_culled_T(
-        pts_b, None, None, ub_b, prep=mesh["prep"])
+    far_t = far_b = None
+    if far2 is not None:
+        far_t, far_b = _far_tiles(ub_b, far2)
 
-    if blocks2d is not None:
-        packed = jnp.stack([d2, w, qv], 0)                    # (3, N) packed
-        packed = _from_blocked2d_ax1(packed, rays_hw[0], rays_hw[1],
-                                     n_samples, bh, bw, sb)
+    d2, _idx, w, qv = point_mesh_query_vis_culled_T(
+        pts_b, None, None, ub_b, prep=mesh["prep"], far_t=far_t)
+
+    far = far_b
+    if blocks2d is not None or blocks is not None:
+        cols = [d2, w, qv]
+        if far_b is not None:
+            cols.append(far_b.astype(d2.dtype))
+        packed = jnp.stack(cols, 0)                           # (k, N) packed
+        if blocks2d is not None:
+            packed = _from_blocked2d_ax1(packed, rays_hw[0], rays_hw[1],
+                                         n_samples, bh, bw, sb)
+        else:
+            packed = _from_blocked_ax1(packed, P, n_samples, rb, sb)
         d2, w, qv = packed[0], packed[1], packed[2]
-    elif blocks is not None:
-        packed = jnp.stack([d2, w, qv], 0)                    # (3, N) packed
-        packed = _from_blocked_ax1(packed, P, n_samples, rb, sb)
-        d2, w, qv = packed[0], packed[1], packed[2]
+        if far_b is not None:
+            far = packed[3] > 0.5
     dist = jnp.sqrt(d2 + 1e-6)
     sign = jnp.where(w > 0.5, -1.0, 1.0)
     qvis = (qv >= 1e-1).astype(points_T.dtype)[:, None]
-    return dist * sign, qvis
+    return dist * sign, qvis, far
 
 
 def _to_blocked_ax1(x: jnp.ndarray, P: int, S: int, rb: int, sb: int):

@@ -943,7 +943,8 @@ def prepare_mesh_ray(triangles: jnp.ndarray, face_vis: jnp.ndarray):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def point_mesh_query_vis_culled(points: jnp.ndarray, triangles: jnp.ndarray,
                                 face_vis: jnp.ndarray, ub_d2: jnp.ndarray,
-                                interpret: bool = False, prep=None):
+                                interpret: bool = False, prep=None,
+                                far_t=None):
     """Culled fused distance + argmin + ray winding + visibility.
 
     Given a valid upper bound: exact same argmin face / winding /
@@ -958,11 +959,18 @@ def point_mesh_query_vis_culled(points: jnp.ndarray, triangles: jnp.ndarray,
         (e.g. the nearest-vertex squared distance).
       prep: optional output of :func:`prepare_mesh_ray` for these
         triangles/face_vis (skips rebuilding the per-face arrays).
+      far_t: optional (N // TILE_P,) bool — the far-field tier (see
+        ``cal_vis_sdf_prepared``): tiles marked far visit NO distance
+        chunks; their d2 is substituted with ``ub_d2`` (the nearest-
+        vertex bound) and their query_vis is 0 (callers supply the
+        nearest-vertex visibility instead).  Winding stays exact.
+        Requires N % TILE_P == 0.
     Returns:
       sq_dist (N,), face_idx (N,) int32, winding (N,), query_vis (N,).
     """
     N = points.shape[0]
     pad_p = (-N) % TILE_P
+    assert far_t is None or pad_p == 0, "far tier needs N % TILE_P == 0"
 
     pts = jnp.pad(points.astype(jnp.float32), ((0, pad_p), (0, 0)),
                   mode="edge")
@@ -984,6 +992,8 @@ def point_mesh_query_vis_culled(points: jnp.ndarray, triangles: jnp.ndarray,
     iota = jnp.arange(n_chunks, dtype=jnp.int32)[None]
     need_d = (mask & 1).astype(bool)
     need_w = (mask & 2).astype(bool)
+    if far_t is not None:
+        need_d &= ~far_t[:, None]
     # sort pushes the non-visited sentinel (n_chunks) past the count
     dlist = jnp.sort(jnp.where(need_d, iota, n_chunks), axis=1)
     wlist = jnp.sort(jnp.where(need_w, iota, n_chunks), axis=1)
@@ -1019,7 +1029,12 @@ def point_mesh_query_vis_culled(points: jnp.ndarray, triangles: jnp.ndarray,
             fspec(9), fspec(3), fspec(10)],
         out_specs=out_specs, out_shape=out_shape, interpret=interpret,
     )(maskf, pts, tri, vis, wtri)
-    return d2[:N, 0], idx[:N, 0], wind[:N, 0], qvis[:N, 0]
+    d2o = d2[:N, 0]
+    if far_t is not None:
+        # far tiles visited no distance chunks (d2 = inf): substitute the
+        # certified nearest-vertex bound
+        d2o = jnp.where(jnp.repeat(far_t, TILE_P), ub[:N], d2o)
+    return d2o, idx[:N, 0], wind[:N, 0], qvis[:N, 0]
 
 
 # ---------------------------------------------------------------------------
@@ -1124,17 +1139,19 @@ def _kernel_vis_ray_culled_T(mask_ref, pts_ref, tri_ref, vis_ref, wtri_ref,
 def point_mesh_query_vis_culled_T(points_T: jnp.ndarray,
                                   triangles: jnp.ndarray,
                                   face_vis: jnp.ndarray, ub_d2: jnp.ndarray,
-                                  interpret: bool = False, prep=None):
+                                  interpret: bool = False, prep=None,
+                                  far_t=None):
     """Transposed-I/O :func:`point_mesh_query_vis_culled` (bit-identical).
 
     Args:
       points_T: (3, N) query coordinates (packed TPU layout);
-      triangles/face_vis/ub_d2/prep: as the untransposed kernel.
+      triangles/face_vis/ub_d2/prep/far_t: as the untransposed kernel.
     Returns:
       sq_dist (N,), face_idx (N,) int32, winding (N,), query_vis (N,).
     """
     N = points_T.shape[1]
     pad_p = (-N) % TILE_P
+    assert far_t is None or pad_p == 0, "far tier needs N % TILE_P == 0"
 
     pts = jnp.pad(points_T.astype(jnp.float32), ((0, 0), (0, pad_p)),
                   mode="edge")
@@ -1159,6 +1176,8 @@ def point_mesh_query_vis_culled_T(points_T: jnp.ndarray,
     iota = jnp.arange(n_chunks, dtype=jnp.int32)[None]
     need_d = (mask & 1).astype(bool)
     need_w = (mask & 2).astype(bool)
+    if far_t is not None:
+        need_d &= ~far_t[:, None]
     dlist = jnp.sort(jnp.where(need_d, iota, n_chunks), axis=1)
     wlist = jnp.sort(jnp.where(need_w, iota, n_chunks), axis=1)
     maskf = jnp.zeros((T, 128), jnp.int32)
@@ -1193,4 +1212,7 @@ def point_mesh_query_vis_culled_T(points_T: jnp.ndarray,
             fspec(9), fspec(3), fspec(10)],
         out_specs=out_specs, out_shape=out_shape, interpret=interpret,
     )(maskf, pts, tri, vis, wtri)
-    return d2[0, :N], idx[0, :N], wind[0, :N], qvis[0, :N]
+    d2o = d2[0, :N]
+    if far_t is not None:
+        d2o = jnp.where(jnp.repeat(far_t, TILE_P), ub[:N], d2o)
+    return d2o, idx[0, :N], wind[0, :N], qvis[0, :N]

@@ -214,6 +214,25 @@ def render_patch(model, params, batch: Dict[str, Any], *, rng,
     fused_train = (int(os.environ.get("VANERF_FUSED_TRAIN", "0") or 0)
                    if training and n_views == 1 else 0)
 
+    # VANERF_FAR_TAU=<meters>: far-field mesh-query tier. Kernel tiles
+    # whose every sample is farther than tau from ALL MANO vertices skip
+    # the exact nearest-face search: |sdf| falls back to the certified
+    # nearest-vertex distance (error <= the face covering radius — at
+    # >= tau >= 10*beta_min the sigmoid-beta density is saturated, so the
+    # composited output is insensitive), the winding sign stays exact, and
+    # query_vis substitutes the nearest vertex's visibility (model.query
+    # patches it from the KNN gather it already performs — zero extra
+    # gathers). Cuts the dominant kernel's visited (tile, chunk) pairs by
+    # ~35% at tau=3cm on production patches.
+    far_tau = os.environ.get("VANERF_FAR_TAU", "")
+    far2 = (float(far_tau) ** 2) if far_tau else None
+    if far2 is not None and (fused_train
+                             or getattr(model, "sp_conv", False)
+                             or os.environ.get("VANERF_FUSED_MLP")):
+        # paths whose query_vis consumers sit inside fused kernels /
+        # sp-conv branches that do not take the far substitution
+        far2 = None
+
     def query_at(z_depths, n_samples, key):
         """Sample points at depths, run mesh queries + the network."""
         if soa_points:
@@ -227,10 +246,11 @@ def render_patch(model, params, batch: Dict[str, Any], *, rng,
                      * z_depths[:, None]).reshape(B, 3, -1)   # (B, 3, P*S)
             nn_idx, nn_d2 = jax.vmap(
                 lambda p, v: nearest_vertex_d2_T(p, v))(pts_T, verts)
-            sdf, q_vis = jax.vmap(
+            sdf, q_vis, far = jax.vmap(
                 lambda m, p, ub: cal_vis_sdf_prepared_T(
                     m, p, ub, n_samples=n_samples, chunk=sdf_chunk,
-                    rays_hw=(out_h, out_w)))(mesh_prep, pts_T, nn_d2)
+                    rays_hw=(out_h, out_w), far2=far2))(mesh_prep, pts_T,
+                                                        nn_d2)
             # the network query path still consumes (B, N, 3) points
             pts = pts_T.swapaxes(1, 2)
         else:
@@ -243,13 +263,15 @@ def render_patch(model, params, batch: Dict[str, Any], *, rng,
             # index feeds every fusion net inside model.query (which skips
             # its own argmin).
             nn_idx, nn_d2 = jax.vmap(nearest_vertex_d2)(pts, verts)
-            sdf, q_vis = jax.vmap(
+            sdf, q_vis, far = jax.vmap(
                 lambda m, p, ub: cal_vis_sdf_prepared(
                     m, p, ub, n_samples=n_samples,
-                    chunk=sdf_chunk))(mesh_prep, pts, nn_d2)
+                    chunk=sdf_chunk, far2=far2))(mesh_prep, pts, nn_d2)
         view = jnp.broadcast_to(cam_rays[:, :, None, :],
                                 (B, P, n_samples, 3)).reshape(B, -1, 3)
         q_sdf = sdf[..., None]                                # (B, N, 1)
+
+        far_mask = far[..., None] if far2 is not None else None
 
         def _net(params, pts, view, fg, ft, q_vis, q_sdf, nn_idx, drng):
             return model.apply(
@@ -257,7 +279,7 @@ def render_patch(model, params, batch: Dict[str, Any], *, rng,
                 batch["src_mask"], verts, vert_vis, q_vis, q_sdf,
                 batch["kpt3d"], n_samples, n_views, training,
                 dropout_rng=drng, bounds=batch["bounds"], nn_idx=nn_idx,
-                method=model.query)
+                far_mask=far_mask, method=model.query)
 
         if fused_train:
             def _apply(params, pts, view, fg, ft, q_vis, q_sdf, nn_idx,
