@@ -576,7 +576,11 @@ def cal_vis_sdf_cull(verts: jnp.ndarray, faces: jnp.ndarray,
                      points: jnp.ndarray, vert_vis: jnp.ndarray,
                      ub_d2: jnp.ndarray, n_samples: int | None = None,
                      chunk: int = 2048):
-    """Single-shot convenience wrapper over prepare + query."""
+    """Single-shot convenience wrapper over prepare + query.
+
+    Returns (sdf, query_vis, far) like :func:`cal_vis_sdf_prepared`
+    (far is always None here — no ``far2`` threshold is exposed).
+    """
     mesh = prepare_culled_mesh(verts, faces, vert_vis)
     return cal_vis_sdf_prepared(mesh, points, ub_d2, n_samples=n_samples,
                                 chunk=chunk)
