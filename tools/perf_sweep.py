@@ -45,6 +45,11 @@ CONFIGS = {
 # fused forward with an XLA custom_vjp backward (renderer.py).
 TRAIN_CONFIGS = {
     "base": {},
+    # one-hot MXU matmul scatter VJP for small-table gather grads
+    # (ops/onehot_gather.py): measured LOSER on the full step (177.8 vs
+    # 136.5 ms base) — the custom_vjp boundary breaks XLA's joint
+    # fwd/bwd schedule. Kept opt-in for isolated-scatter workloads.
+    "ohs": {"VANERF_ONEHOT_SCATTER": "1"},
     "soa": {"VANERF_SOA_POINTS": "1"},
     "b2d": {"VANERF_BLOCK_2D": "4,4,8"},
     "soa_b2d": {"VANERF_SOA_POINTS": "1", "VANERF_BLOCK_2D": "4,4,8"},

@@ -58,7 +58,15 @@ def grid_sample_2d(feat: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
     # idx is in-bounds by construction (x0/y0 clipped above); the promise
     # removes jnp.take's out-of-bounds fill select — a full-row
     # (N, 4C) select fusion worth ~0.4 ms per 262k-row gather on v5e.
-    g = packed.at[idx].get(mode="promise_in_bounds")        # (N, 4C)
+    from .onehot_gather import onehot_scatter_enabled, take_rows
+    if onehot_scatter_enabled(H * W, idx.shape[0]):
+        # same forward gather; the table-grad scatter-add of the backward
+        # pass runs as an MXU one-hot matmul (see ops/onehot_gather.py).
+        # Callers must NOT vmap into this branch — feat_sample_nhwc
+        # unrolls the batch dim instead.
+        g = take_rows(packed, idx)                          # (N, 4C)
+    else:
+        g = packed.at[idx].get(mode="promise_in_bounds")    # (N, 4C)
     f00, f01, f10, f11 = g[:, :C], g[:, C:2 * C], g[:, 2 * C:3 * C], g[:, 3 * C:]
     # keep the lerp in the map's dtype: with bf16 feature maps the gather
     # and arithmetic stay bf16 (half the HBM traffic) instead of promoting
@@ -79,6 +87,12 @@ def feat_sample_nhwc(feat: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
     Returns:
       (B, N, C)
     """
+    from .onehot_gather import onehot_scatter_enabled
+    B, H, W, _ = feat.shape
+    if onehot_scatter_enabled(H * W, uv.shape[1]):
+        # Unroll the (small, static) batch dim: the one-hot scatter VJP
+        # kernel accumulates across its own grid and must not be vmapped.
+        return jnp.stack([grid_sample_2d(feat[b], uv[b]) for b in range(B)])
     return jax.vmap(grid_sample_2d)(feat, uv)
 
 

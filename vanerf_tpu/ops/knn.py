@@ -114,6 +114,22 @@ def nearest_vertex(query: jnp.ndarray, verts: jnp.ndarray,
     return idx.reshape(-1)[:N]
 
 
+def _take_batched(packed_both: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Batched in-bounds row gather (B, V, C)[B, N] -> (B, N, C).
+
+    When the one-hot scatter policy fires, the batch dim is unrolled (it is
+    small and static) so the table-grad VJP runs the MXU one-hot matmul
+    scatter — which must not be vmapped (see ops/onehot_gather.py).
+    """
+    from .onehot_gather import onehot_scatter_enabled, take_rows
+    B, V, _ = packed_both.shape
+    if onehot_scatter_enabled(V, idx.shape[1]):
+        return jnp.stack([take_rows(packed_both[b], idx[b])
+                          for b in range(B)])
+    take = jax.vmap(lambda a, i: a.at[i].get(mode="promise_in_bounds"))
+    return take(packed_both, idx)
+
+
 def knn_gather_1(query: jnp.ndarray, verts: jnp.ndarray,
                  vert_feat: jnp.ndarray, vert_vis: jnp.ndarray,
                  num_v: int, weight_by_vis: bool = True,
@@ -150,8 +166,7 @@ def knn_gather_1(query: jnp.ndarray, verts: jnp.ndarray,
         [packed, jnp.roll(packed, -num_v, axis=1)], -1)    # (B, V, 2(C+1))
     # argmin indices are in-bounds by construction; the promise removes
     # jnp.take's out-of-bounds fill select on the gathered rows.
-    take = jax.vmap(lambda a, i: a.at[i].get(mode="promise_in_bounds"))
-    g2 = take(packed_both, idx)
+    g2 = _take_batched(packed_both, idx)
     C1 = packed.shape[-1]
     g, g_toh = g2[..., :C1], g2[..., C1:]
     f, v = g[..., :-1], g[..., -1:]
@@ -178,5 +193,4 @@ def knn_gather_raw(query: jnp.ndarray, verts: jnp.ndarray,
         [vert_feat, vert_vis.astype(vert_feat.dtype)], -1)
     packed_both = jnp.concatenate(
         [packed, jnp.roll(packed, -num_v, axis=1)], -1)    # (B, V, 2(C+1))
-    take = jax.vmap(lambda a, i: a.at[i].get(mode="promise_in_bounds"))
-    return take(packed_both, idx)
+    return _take_batched(packed_both, idx)
