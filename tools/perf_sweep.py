@@ -36,6 +36,17 @@ CONFIGS = {
     # stands in beyond tau; see renderer.py VANERF_FAR_TAU comment)
     "far02": {"VANERF_FAR_TAU": "0.02"},
     "far03": {"VANERF_FAR_TAU": "0.03"},
+    # cull-granularity sweep: per-patch mesh-query time varies 8.7-16.8 ms
+    # with patch content (visit-rate variance), so tile/chunk granularity
+    # is the lever on the HARD patches. CULL_CHUNK=32 would exceed the
+    # 61-chunk compacted-list layout (mesh_query_pallas.py).
+    "b2d": {"VANERF_BLOCK_2D": "4,4,8"},
+    "t64": {"VANERF_MESH_TILE_P": "64"},
+    "t256": {"VANERF_MESH_TILE_P": "256"},
+    "cc64": {"VANERF_CULL_CHUNK": "64"},
+    "cc256": {"VANERF_CULL_CHUNK": "256"},
+    "t64_cc64": {"VANERF_MESH_TILE_P": "64", "VANERF_CULL_CHUNK": "64"},
+    "b2d_t64": {"VANERF_BLOCK_2D": "4,4,4", "VANERF_MESH_TILE_P": "64"},
 }
 
 
