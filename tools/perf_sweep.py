@@ -36,6 +36,14 @@ CONFIGS = {
     # stands in beyond tau; see renderer.py VANERF_FAR_TAU comment)
     "far02": {"VANERF_FAR_TAU": "0.02"},
     "far03": {"VANERF_FAR_TAU": "0.03"},
+    # per-ray network budget (approximate; renderer.py VANERF_FAR_SKIP):
+    # evaluate the per-point net on only frac*S nearest-to-surface samples
+    "fskip75": {"VANERF_FAR_SKIP": "0.75"},
+    "fskip50": {"VANERF_FAR_SKIP": "0.5"},
+    "fskip375": {"VANERF_FAR_SKIP": "0.375"},
+    "fskip50_far02": {"VANERF_FAR_SKIP": "0.5", "VANERF_FAR_TAU": "0.02"},
+    "fskip375_far02": {"VANERF_FAR_SKIP": "0.375",
+                       "VANERF_FAR_TAU": "0.02"},
     # cull-granularity sweep: per-patch mesh-query time varies 8.7-16.8 ms
     # with patch content (visit-rate variance), so tile/chunk granularity
     # is the lever on the HARD patches. CULL_CHUNK=32 would exceed the

@@ -233,6 +233,26 @@ def render_patch(model, params, batch: Dict[str, Any], *, rng,
         # sp-conv branches that do not take the far substitution
         far2 = None
 
+    # VANERF_FAR_SKIP=<frac in (0,1]>: serving-only per-ray network
+    # budget.  Each ray runs the per-point network (feature gathers, PE,
+    # fusion nets, MLP heads — the ~50% of patch time that is NOT the
+    # mesh kernels) on only round(frac*S) samples: the ones nearest the
+    # MANO surface by the certified nearest-vertex distance the KNN pass
+    # already computes.  Skipped samples fall back to the mesh-prior
+    # density (rad=0 in ops/composite.rgba2out ⇒ σ = sigmoid(-q_sdf/β)/β)
+    # and contribute no color; by construction they are each ray's
+    # farthest-from-surface samples, where the trained sigmoid-β density
+    # is saturated ≈0, so the composited error is bounded like the
+    # far-tau tier's (docs/perf.md).  frac=1.0 runs the full machinery
+    # losslessly (pure within-ray permutation round-trip; tested).
+    # Eval/serving only: the budget is not differentiated.  Composes
+    # with VANERF_FAR_TAU (independent approximations, same error model).
+    far_skip_frac = (float(os.environ.get("VANERF_FAR_SKIP", "0") or 0.0)
+                     if (not training and not fused_train and not soa_points
+                         and not getattr(model, "sp_conv", False)
+                         and not os.environ.get("VANERF_FUSED_MLP"))
+                     else 0.0)
+
     def query_at(z_depths, n_samples, key):
         """Sample points at depths, run mesh queries + the network."""
         if soa_points:
@@ -307,14 +327,59 @@ def render_patch(model, params, batch: Dict[str, Any], *, rng,
             out, valid = _net(params, pts, view, feat_geo, feat_tex,
                               q_vis, q_sdf, nn_idx)
         else:
-            if remat_mode:
-                policy = (jax.checkpoint_policies
-                          .dots_with_no_batch_dims_saveable
-                          if remat_mode == 2 else None)
-                _net = jax.checkpoint(_net, policy=policy)
-            out, valid = _net(
-                params, pts, view, feat_geo, feat_tex, q_vis, q_sdf,
-                nn_idx, jax.random.fold_in(key, 1) if training else None)
+            ks = 0
+            if 0.0 < far_skip_frac <= 1.0 and not remat_mode:
+                ks = min(n_samples,
+                         max(1, int(round(n_samples * far_skip_frac))))
+            if ks:
+                # per-ray budget: select the ks nearest-to-surface samples
+                # (ascending certified nearest-vertex d2), run the network
+                # on the compacted (B, P*ks) rows, scatter results back.
+                # model.query is per-sample at every n_views (the IBR head
+                # reduces over the VIEW axis only), so within-ray
+                # reordering is value-preserving per row.
+                S = n_samples
+                Pn = pts.shape[1] // S
+                sel = jnp.argsort(nn_d2.reshape(B, Pn, S),
+                                  axis=-1)[..., :ks]          # (B, Pn, ks)
+                parts = [pts, view, q_vis.astype(jnp.float32), q_sdf,
+                         nn_idx[..., None].astype(jnp.float32)]
+                if far_mask is not None:
+                    parts.append(far_mask.astype(jnp.float32))
+                packed = jnp.concatenate(parts, -1)           # (B, N, 9|10)
+                C = packed.shape[-1]
+                sub = jnp.take_along_axis(packed.reshape(B, Pn, S, C),
+                                          sel[..., None], axis=2)
+                sub = sub.reshape(B, Pn * ks, C)
+                far_k = (sub[..., 9:10] > 0.5) if far_mask is not None \
+                    else None
+                out_k, valid_k = model.apply(
+                    params, sub[..., :3], sub[..., 3:6], cam_in, feat_geo,
+                    feat_tex, src_img, batch["src_mask"], verts, vert_vis,
+                    sub[..., 6:7].astype(q_vis.dtype), sub[..., 7:8],
+                    batch["kpt3d"], ks, n_views, False, dropout_rng=None,
+                    bounds=batch["bounds"],
+                    # nearest-vertex ids < 1558 are exact through f32
+                    nn_idx=sub[..., 8].astype(jnp.int32),
+                    far_mask=far_k, method=model.query)
+                co = out_k.shape[-1]
+                buf = jnp.concatenate(
+                    [out_k, valid_k], -1).reshape(B, Pn, ks, co + 1)
+                full = jnp.zeros((B, Pn, S, co + 1), buf.dtype)
+                bi = jnp.arange(B)[:, None, None]
+                pi = jnp.arange(Pn)[None, :, None]
+                full = full.at[bi, pi, sel].set(buf)
+                full = full.reshape(B, Pn * S, co + 1)
+                out, valid = full[..., :co], full[..., co:]
+            else:
+                if remat_mode:
+                    policy = (jax.checkpoint_policies
+                              .dots_with_no_batch_dims_saveable
+                              if remat_mode == 2 else None)
+                    _net = jax.checkpoint(_net, policy=policy)
+                out, valid = _net(
+                    params, pts, view, feat_geo, feat_tex, q_vis, q_sdf,
+                    nn_idx, jax.random.fold_in(key, 1) if training else None)
 
         # eval_func (model.py:1140-1160)
         sdf_ch = valid * out[..., 0:1] + (1.0 - valid) * (0.1 / nml_scale)
