@@ -270,16 +270,48 @@ class VANeRF(nn.Module):
         pw = jax.lax.stop_gradient(pw.reshape(B, n_views, N, 1)) * out_mask
         pix_weight = pw / (pw.sum(1, keepdims=True) + 1e-6)
 
+        # VANERF_MXU_INTERP (inference-path default on TPU; =0 to disable):
+        # bilinear-sample the SMALL encoder maps (the 32^2x64 geo-coarse
+        # map at production shapes) via the VMEM-resident MXU hat-weight
+        # kernel instead of the gather unit — gathers are row-count bound
+        # so small tables overpay ~2x (docs/perf.md; bench 12.35 -> 12.85M).
+        # Values match the gather+lerp to dtype rounding (f32-accumulated
+        # hat products vs bf16 lerp).  "force" uses the kernel (interpret
+        # mode) off-TPU for equality tests.  No VJP: training keeps the
+        # XLA gather, whose scatter-transpose joins XLA's joint fwd/bwd
+        # schedule.
+        mxu_flag = os.environ.get("VANERF_MXU_INTERP", "1")
+        mxu_on = (mxu_flag not in ("", "0") and not training
+                  and not self.is_initializing()
+                  and (mxu_flag == "force"
+                       or jax.default_backend() == "tpu"))
+        # VANERF_MXU_ROWS=1: the KNN vertex-table row gather through the
+        # same machinery (bitwise-exact one-hot contraction).  Measured
+        # LOSER (12.17 vs 12.84M): nearest-vertex ids spread over both
+        # hands' chunks, so the one-hot build+matmul pays the full table
+        # K while the hat-interp kernel's pixel footprints stay local.
+        mxu_rows = mxu_on and os.environ.get("VANERF_MXU_ROWS", "0") != "0"
+
+        def _psamp(f, xy_):
+            from ..ops.interp_mxu import interp_mxu_viable, interp_sample_nhwc
+            if mxu_on and interp_mxu_viable(f.shape[1], f.shape[2]):
+                return interp_sample_nhwc(
+                    f, xy_, interpret=jax.default_backend() != "tpu")
+            return feat_sample_nhwc(f, xy_)
+
         if feat_geo[1].shape[1:3] == feat_tex.shape[1:3]:
-            half = feat_sample_nhwc(
+            half = _psamp(
                 jnp.concatenate([feat_geo[1], feat_tex], -1), xy)
             ch1 = feat_geo[1].shape[-1]
-            feat_sampled = [feat_sample_nhwc(feat_geo[0], xy),
+            feat_sampled = [_psamp(feat_geo[0], xy),
                             half[..., :ch1]]
             feat_tex_xy = half[..., ch1:]
         else:
             feat_sampled = [
-                feat_sample_nhwc(f, xy) for f in feat_geo]   # (BV, N, C)
+                _psamp(f, xy) for f in feat_geo]             # (BV, N, C)
+            # feat_tex (64^2 x 8ch) measured SLOWER through the MXU kernel
+            # (11.87M vs 12.71M bench): 32 column chunks of C=8 output
+            # under-fill the MXU and the hat build scales with HW.
             feat_tex_xy = feat_sample_nhwc(feat_tex, xy)
 
         # fused query kernels (ops/fused_mlp.py): single-view inference
@@ -389,14 +421,15 @@ class VANeRF(nn.Module):
                 # full-kernel path: raw rows; slicing/vis-weighting and
                 # BOTH fusion nets run inside the pallas kernel
                 g2_raw = knn_gather_raw(v, vert_rep, shared, vert_vis_rep,
-                                        self.num_v, nn_idx=nn_idx)
+                                        self.num_v, nn_idx=nn_idx,
+                                        mxu=mxu_rows)
                 return self._query_fused_full(
                     v, cam, kpt3d, feat_sampled, img_xy, feat_tex_xy,
                     q_sdf_rep, q_vis_rep, out_mask, pix_weight, g2_raw,
                     B, N, cdt)
             f_s, f_toh_s, vis_th, vis_toh = knn_gather_1(
                 v, vert_rep, shared, vert_vis_rep, self.num_v,
-                nn_idx=nn_idx)
+                nn_idx=nn_idx, mxu=mxu_rows)
             if far_mask is not None:
                 # far-field mesh-query tier (renderer VANERF_FAR_TAU):
                 # the exact barycentric face visibility was skipped for

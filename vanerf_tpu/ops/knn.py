@@ -114,8 +114,14 @@ def nearest_vertex(query: jnp.ndarray, verts: jnp.ndarray,
     return idx.reshape(-1)[:N]
 
 
-def _take_batched(packed_both: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+def _take_batched(packed_both: jnp.ndarray, idx: jnp.ndarray,
+                  mxu: bool = False) -> jnp.ndarray:
     """Batched in-bounds row gather (B, V, C)[B, N] -> (B, N, C).
+
+    With ``mxu`` (inference only — no VJP), the lookup runs as a VMEM
+    one-hot MXU contraction (ops/interp_mxu.py::mxu_row_gather) —
+    bitwise-identical rows without paying the gather unit's row-rate
+    floor.
 
     When the one-hot scatter policy fires, the batch dim is unrolled (it is
     small and static) so the table-grad VJP runs the MXU one-hot matmul
@@ -123,6 +129,13 @@ def _take_batched(packed_both: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """
     from .onehot_gather import onehot_scatter_enabled, take_rows
     B, V, _ = packed_both.shape
+    if mxu:
+        from .interp_mxu import mxu_row_gather, row_gather_viable
+        if row_gather_viable(V):
+            return jax.vmap(
+                lambda a, i: mxu_row_gather(
+                    a, i, interpret=jax.default_backend() != "tpu"))(
+                packed_both, idx)
     if onehot_scatter_enabled(V, idx.shape[1]):
         return jnp.stack([take_rows(packed_both[b], idx[b])
                           for b in range(B)])
@@ -133,7 +146,7 @@ def _take_batched(packed_both: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 def knn_gather_1(query: jnp.ndarray, verts: jnp.ndarray,
                  vert_feat: jnp.ndarray, vert_vis: jnp.ndarray,
                  num_v: int, weight_by_vis: bool = True,
-                 nn_idx: jnp.ndarray | None = None):
+                 nn_idx: jnp.ndarray | None = None, mxu: bool = False):
     """K=1 nearest-vertex feature lookup for this-hand and other-hand.
 
     Parity with ``networks.py:27-33`` (``KNN_vis``) /
@@ -166,7 +179,7 @@ def knn_gather_1(query: jnp.ndarray, verts: jnp.ndarray,
         [packed, jnp.roll(packed, -num_v, axis=1)], -1)    # (B, V, 2(C+1))
     # argmin indices are in-bounds by construction; the promise removes
     # jnp.take's out-of-bounds fill select on the gathered rows.
-    g2 = _take_batched(packed_both, idx)
+    g2 = _take_batched(packed_both, idx, mxu=mxu)
     C1 = packed.shape[-1]
     g, g_toh = g2[..., :C1], g2[..., C1:]
     f, v = g[..., :-1], g[..., -1:]
@@ -179,7 +192,8 @@ def knn_gather_1(query: jnp.ndarray, verts: jnp.ndarray,
 
 def knn_gather_raw(query: jnp.ndarray, verts: jnp.ndarray,
                    vert_feat: jnp.ndarray, vert_vis: jnp.ndarray,
-                   num_v: int, nn_idx: jnp.ndarray | None = None):
+                   num_v: int, nn_idx: jnp.ndarray | None = None,
+                   mxu: bool = False):
     """The :func:`knn_gather_1` gather WITHOUT the split/vis-weighting.
 
     Returns the raw gathered rows (B, N, 2(C+1)) laid out as
@@ -193,4 +207,4 @@ def knn_gather_raw(query: jnp.ndarray, verts: jnp.ndarray,
         [vert_feat, vert_vis.astype(vert_feat.dtype)], -1)
     packed_both = jnp.concatenate(
         [packed, jnp.roll(packed, -num_v, axis=1)], -1)    # (B, V, 2(C+1))
-    return _take_batched(packed_both, idx)
+    return _take_batched(packed_both, idx, mxu=mxu)
