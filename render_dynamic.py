@@ -33,7 +33,7 @@ def main(argv=None):
     from vanerf_tpu.camera_path import get_360cameras
     from vanerf_tpu.data import SyntheticDataset
     from vanerf_tpu.models import VANeRF, DiscriminatorVis
-    from vanerf_tpu.renderer import render_full_image
+    from vanerf_tpu.renderer import plan_tile_group, render_full_image
     from vanerf_tpu.training.checkpoints import CheckpointManager
     from vanerf_tpu.training.loop import collate_numpy
     from vanerf_tpu.training.train_step import create_train_state
@@ -83,6 +83,18 @@ def main(argv=None):
     cams = get_360cameras(headpose, focal, trans, sc, im_w, im_h,
                           znear, zfar, n_frames)
 
+    # multi-chip serving: shard each frame's tile group over the device
+    # mesh (same plan as the eval loop; the reference renders video on a
+    # single GPU only, model.py:140-207)
+    mesh = None
+    if args.num_gpus != 1:
+        from vanerf_tpu.parallel import make_mesh
+        mesh = make_mesh(args.num_gpus)
+    level = max(1, int(np.log2(im_h)) - 5)
+    tg, mesh = plan_tile_group(
+        4 ** (level - 1), cfg.get("training", {}).get("eval_tile_group", 1),
+        mesh)
+
     out_dir = os.path.join(save_dir, "video_interhand")
     os.makedirs(out_dir, exist_ok=True)
     frames = []
@@ -94,8 +106,8 @@ def main(argv=None):
         b["zfar"] = jnp.float32(cam["zfar"])
         b["tar_img"] = None
         b["tar_mask"] = None
-        level = max(1, int(np.log2(im_h)) - 5)
-        out = render_full_image(model, state.params_g, b, level=level)
+        out = render_full_image(model, state.params_g, b, level=level,
+                                tile_group=tg, mesh=mesh)
         img = np.clip(np.asarray(out["tex_fg_fine"])[0], 0, 1)
         frame = (img * 255).astype(np.uint8)
         imageio.imwrite(os.path.join(out_dir, f"{fi:06d}.png"), frame)

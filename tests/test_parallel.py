@@ -135,6 +135,35 @@ def test_cli_multi_device_run_val(tmp_path):
     assert ymls, "run_val did not write a results YAML"
 
 
+def test_plan_tile_group_resolves_mesh_and_rounding():
+    """plan_tile_group (renderer.py): rounds the group up to the mesh
+    size, degrades to single-chip when the frame has too few tiles, and
+    leaves single-chip plans untouched."""
+    from vanerf_tpu.parallel import make_mesh
+    from vanerf_tpu.renderer import plan_tile_group
+
+    # single-chip: clamp to n_tiles, floor at 1
+    assert plan_tile_group(16, 1, None) == (1, None)
+    assert plan_tile_group(4, 16, None) == (4, None)
+    assert plan_tile_group(1, 0, None) == (1, None)
+
+    mesh = make_mesh(4)
+    # group rounds up to the mesh size and shards
+    tg, m = plan_tile_group(16, 1, mesh)
+    assert tg == 4 and m is mesh
+    # already divisible: kept as-is
+    tg, m = plan_tile_group(16, 8, mesh)
+    assert tg == 8 and m is mesh
+    # non-multiple group rounds DOWN to a mesh multiple (8//4*4)
+    tg, m = plan_tile_group(16, 6, mesh)
+    assert tg % 4 == 0 and m is mesh
+    # too few tiles to split: falls back to single-chip
+    tg, m = plan_tile_group(1, 4, mesh)
+    assert tg == 1 and m is None
+    tg, m = plan_tile_group(2, 1, mesh)
+    assert tg == 2 and m is None
+
+
 def test_sharded_full_image_matches_single_device():
     """Multi-chip inference: render_full_image with a 4-device mesh shards
     the tile-group batch under shard_map and reproduces the single-device

@@ -100,7 +100,10 @@ def test_render_dynamic_cli_writes_png_gif_mp4(tmp_path):
     sys.path.insert(0, "/root/repo")
     try:
         import render_dynamic
+        # --num_gpus 2 exercises the CLI mesh plan; a 32-pixel frame has a
+        # single tile, so plan_tile_group degrades it to single-chip
         render_dynamic.main(["--config", str(cfg_path), "--synthetic_data",
+                             "--num_gpus", "2",
                              "--out_dir", str(tmp_path / "out")])
     finally:
         sys.path.remove("/root/repo")

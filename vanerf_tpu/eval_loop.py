@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from .evaluator import Evaluator
-from .renderer import render_full_image
+from .renderer import plan_tile_group, render_full_image
 from .training.loop import collate_numpy
 
 
@@ -131,17 +131,11 @@ def _run_test_inner(loader, n, model, state, cfg, save_dir, evaluator,
         # tile_group > 1 folds several stride offsets into one call — the
         # multi-chip serving unit.  Single-chip it no longer pays (the
         # per-call dispatch overhead it amortized is gone), so default 1.
-        tg = cfg["training"].get("eval_tile_group", 1)
-        use_mesh = mesh
-        if mesh is not None:
-            # multi-chip serving: the tile group shards P("data") over the
-            # mesh, so it must be a (nonzero) multiple of the mesh size
-            tg = max(tg, mesh.size) // mesh.size * mesh.size
-            if min(tg, n_tiles) % mesh.size != 0:
-                use_mesh = None     # image too small to split; single-chip
+        tg, use_mesh = plan_tile_group(
+            n_tiles, cfg["training"].get("eval_tile_group", 1), mesh)
         out = render_full_image(
             model, params, batch, level=level, n_views=n_views,
-            tile_group=min(tg, n_tiles), mesh=use_mesh)
+            tile_group=tg, mesh=use_mesh)
         pred = np.clip(np.asarray(out["tex_fg_fine"])[0], 0.0, 1.0)
         gt = np.asarray(batch["tar_img"])[0]
         # SSIM crop region: ray-AABB mask when the dataset provides it

@@ -554,6 +554,26 @@ def _lazy_sharded_tile(tile, mesh, axis: str = "data"):
     return call
 
 
+def plan_tile_group(n_tiles: int, tile_group: int, mesh=None):
+    """Resolve the (tile_group, mesh) pair for a full-image render.
+
+    The tile group is the multi-chip serving unit: ``render_full_image``
+    shards it ``P("data")`` over the mesh, so it must be a nonzero
+    multiple of the mesh size that also divides into the frame's
+    ``n_tiles`` stride offsets.  Rounds ``tile_group`` up to the mesh
+    size and falls back to single-chip (``mesh=None``) when the image
+    has too few tiles to split — the same degradation the eval loop and
+    the video CLI both need (reference serving is single-GPU only,
+    ``model.py:575-597``; the mesh path has no reference counterpart).
+    """
+    tg = max(1, tile_group)
+    if mesh is not None:
+        tg = max(tg, mesh.size) // mesh.size * mesh.size
+        if min(tg, n_tiles) % mesh.size != 0:
+            mesh = None               # too few tiles to split; single-chip
+    return min(tg, n_tiles), mesh
+
+
 def render_full_image(model, params, batch, *, level: int,
                       sample_per_ray_c: int = 64, sample_per_ray_f: int = 64,
                       n_views: int = 1, rng=None, sdf_chunk: int = 2048,
