@@ -53,6 +53,33 @@ def test_spatial_encoder_rel_z_decay():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_position_embedding_direct_matches_recurrence(monkeypatch):
+    """VANERF_PE_DIRECT=1 (independent sin/cos per octave, the reference's
+    own formulation spatial.py:19-43) must match the default double-angle
+    recurrence to fp tolerance at every level and with decay weights."""
+    from vanerf_tpu.models.spatial import position_embedding
+
+    x = jnp.asarray(np.random.default_rng(0).uniform(-2, 2, (3, 17, 6)),
+                    jnp.float32)
+    w = jnp.asarray(np.random.default_rng(1).uniform(0, 1, (3, 17, 6)),
+                    jnp.float32)
+    for nlevels in (0, 1, 3, 6):
+        monkeypatch.delenv("VANERF_PE_DIRECT", raising=False)
+        ref = position_embedding(x, nlevels, scale=0.5, weight=w)
+        monkeypatch.setenv("VANERF_PE_DIRECT", "1")
+        out = position_embedding(x, nlevels, scale=0.5, weight=w)
+        assert out.shape == ref.shape == (3, 17, 6 * (1 + 2 * nlevels))
+        # recurrence error grows with level; 2^5*pi*2 arguments stay well
+        # inside f32 sin range
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-5)
+        parts = position_embedding(x, nlevels, scale=0.5, weight=w,
+                                   return_parts=True)
+        np.testing.assert_allclose(
+            np.asarray(jnp.concatenate(parts, -1)), np.asarray(out),
+            rtol=0, atol=0)
+
+
 def test_mlp_unet_fusion_shapes():
     cfg = vconfig.default_cfg()["models"]["VANeRF"]["mlp_geo_args"]
     nd1 = list(cfg["n_dims1"])

@@ -75,9 +75,12 @@ def test_render_patch_smoke(setup):
 
 
 @pytest.mark.slow
-def test_render_patch_soa_points_matches(setup, monkeypatch):
-    """VANERF_SOA_POINTS=1 (coordinate-major kernel I/O) must reproduce the
-    row-major path: same sample positions, same mesh queries, same render.
+@pytest.mark.parametrize("mode", ["1", "2"])
+def test_render_patch_soa_points_matches(setup, monkeypatch, mode):
+    """VANERF_SOA_POINTS=1 (coordinate-major kernel I/O) and =2 (dual
+    generate: the network's (N, 3) points recomputed from (o, d, z)
+    instead of transposing pts_T) must reproduce the row-major path:
+    same sample positions, same mesh queries, same render.
 
     On the pallas backend the kernels are bit-identical; this CPU test
     drives the renderer plumbing through the XLA fallback where the SoA
@@ -107,7 +110,7 @@ def test_render_patch_soa_points_matches(setup, monkeypatch):
 
     monkeypatch.setenv("VANERF_SOA_POINTS", "0")
     out_a = run()
-    monkeypatch.setenv("VANERF_SOA_POINTS", "1")
+    monkeypatch.setenv("VANERF_SOA_POINTS", mode)
     out_b = run()
     for k in out_a:
         np.testing.assert_allclose(np.asarray(out_b[k]),

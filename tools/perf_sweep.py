@@ -19,6 +19,12 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CONFIGS = {
     "base": {},
     "soa": {"VANERF_SOA_POINTS": "1"},
+    # dual generate: (3, N) kernel I/O, network points recomputed from
+    # (o, d, z) instead of transposing pts_T (mode 1's measured loss)
+    "soa2": {"VANERF_SOA_POINTS": "2"},
+    # direct per-octave sin/cos PE (fuses into the wide concat)
+    "pe_direct": {"VANERF_PE_DIRECT": "1"},
+    "soa2_pe": {"VANERF_SOA_POINTS": "2", "VANERF_PE_DIRECT": "1"},
     "soa_f1": {"VANERF_SOA_POINTS": "1", "VANERF_FUSED_MLP": "1"},
     "soa_f2": {"VANERF_SOA_POINTS": "1", "VANERF_FUSED_MLP": "2"},
     "soa_f2_b2d": {"VANERF_SOA_POINTS": "1", "VANERF_FUSED_MLP": "2",
@@ -70,6 +76,8 @@ TRAIN_CONFIGS = {
     # fwd/bwd schedule. Kept opt-in for isolated-scatter workloads.
     "ohs": {"VANERF_ONEHOT_SCATTER": "1"},
     "soa": {"VANERF_SOA_POINTS": "1"},
+    "soa2": {"VANERF_SOA_POINTS": "2"},
+    "pe_direct": {"VANERF_PE_DIRECT": "1"},
     "b2d": {"VANERF_BLOCK_2D": "4,4,8"},
     "soa_b2d": {"VANERF_SOA_POINTS": "1", "VANERF_BLOCK_2D": "4,4,8"},
     "remat1": {"VANERF_REMAT_QUERY": "1"},

@@ -10,6 +10,7 @@ variants are supported; the shipped configs use ``rel_z_decay``
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax.numpy as jnp
 import numpy as np
@@ -31,13 +32,26 @@ def position_embedding(x: jnp.ndarray, nlevels: int,
         out = x if weight is None else x * weight
         return [out] if return_parts else out
     a = (scale * np.pi) * x
-    s = jnp.sin(a)
-    c = jnp.cos(a)
-    parts = [x]
-    for _ in range(nlevels):
-        parts.append(s)
-        parts.append(c)
-        s, c = 2.0 * s * c, 1.0 - 2.0 * s * s
+    if os.environ.get("VANERF_PE_DIRECT", "0") != "0":
+        # VANERF_PE_DIRECT=1: one independent sin/cos pair per octave
+        # (the reference's own formulation, spatial.py:19-43).  More
+        # transcendentals than the recurrence, but each part is a pure
+        # function of `a`, so XLA can fuse the whole PE into the wide
+        # concat instead of materializing the (N, 42) tuple of recurrence
+        # intermediates (each lane-padded 42->128 in HBM).
+        parts = [x]
+        for lv in range(nlevels):
+            f = float(2 ** lv) * a
+            parts.append(jnp.sin(f))
+            parts.append(jnp.cos(f))
+    else:
+        s = jnp.sin(a)
+        c = jnp.cos(a)
+        parts = [x]
+        for _ in range(nlevels):
+            parts.append(s)
+            parts.append(c)
+            s, c = 2.0 * s * c, 1.0 - 2.0 * s * s
     if weight is not None:
         # per-part weighting (rel_z_decay) applied pre-concat — avoids the
         # (N, 1+2L, C) reshape round-trip, which XLA was materializing with

@@ -191,7 +191,15 @@ def render_patch(model, params, batch: Dict[str, Any], *, rng,
         lambda vt, vv: prepare_culled_mesh(vt, faces, vv))(verts, vert_vis)
 
     import os
-    soa_points = os.environ.get("VANERF_SOA_POINTS", "0") != "0"
+    # 0 = pixel-major (N, 3) points everywhere; 1 = coordinate-major
+    # (3, N) kernel I/O with the network's (N, 3) points transposed from
+    # pts_T; 2 = "dual generate": kernels get (3, N), the network's
+    # (N, 3) points are recomputed directly from (o, d, z) — no padded
+    # (3, N) -> (N, 3) transpose (mode 1's measured loss, docs/perf.md)
+    try:
+        soa_points = int(os.environ.get("VANERF_SOA_POINTS", "0") or 0)
+    except ValueError:
+        soa_points = 1
 
     # VANERF_REMAT_QUERY (training only): rematerialize the per-point
     # network in the backward pass instead of storing its ~10 intermediate
@@ -272,7 +280,16 @@ def render_patch(model, params, batch: Dict[str, Any], *, rng,
                     rays_hw=(out_h, out_w), far2=far2))(mesh_prep, pts_T,
                                                         nn_d2)
             # the network query path still consumes (B, N, 3) points
-            pts = pts_T.swapaxes(1, 2)
+            if soa_points >= 2:
+                # dual generate: o + d*z elementwise in (N, 3) order is
+                # bit-identical to transposing pts_T, but reads the tiny
+                # (P, 3)/(P, S) inputs instead of relaying out the
+                # lane-padded (3, N) array
+                pts = (cam_pos[:, :, None]
+                       + cam_rays[:, :, None] * z_depths[..., None]
+                       ).reshape(B, -1, 3)
+            else:
+                pts = pts_T.swapaxes(1, 2)
         else:
             pts = (cam_pos[:, :, None]
                    + cam_rays[:, :, None] * z_depths[..., None])
