@@ -87,6 +87,7 @@ def test_viability_gate():
     assert not interp_mxu_viable(2, 48)        # rows not chunk-aligned
 
 
+@pytest.mark.slow
 def test_query_integration_force_flag(monkeypatch):
     """VANERF_MXU_INTERP=force routes the small-map samples through the
     kernel inside model.query and matches the default path."""
