@@ -133,10 +133,57 @@ def main():
     run_j = jax.jit(run)
     t_full = timed(run_j, params, batch, rng)
 
+    # --- tail phases (the "elementwise/reduce tail" in docs/perf.md):
+    # time each standalone at production shapes so a single hardware run
+    # localizes it.  Each jit includes its own dispatch overhead, so the
+    # sum overstates in-context cost — use for RELATIVE ranking only.
+    from vanerf_tpu.ops.composite import rgba2out
+    from vanerf_tpu.ops.knn import nearest_vertex_d2
+    from vanerf_tpu.ops.sampling import importance_sample, stratified_sample
+    from vanerf_tpu.ops.sorting import sort_by_key
+
+    P = out_hw * out_hw
+    beta = params["params"]["sigmoid_beta"]
+    zn = jnp.full((B, P, 1), 0.5)
+    zf = jnp.full((B, P, 1), 1.5)
+
+    @jax.jit
+    def samp_fn(key):
+        z = stratified_sample(zn, zf, spc, rng=key, uniform=True)
+        contrib = jax.nn.softmax(z, axis=-1)
+        z_mid = 0.5 * (z[..., 1:] + z[..., :-1])
+        z_new = importance_sample(contrib[..., 1:-1], z_mid, spc, rng=key,
+                                  uniform=True)
+        (z_s,) = sort_by_key(z_new)
+        return z_s
+
+    t_samp = timed(samp_fn, rng)
+
+    zs = jnp.sort(jax.random.uniform(rng, (B, P, spc)), axis=-1)
+    rad = jax.random.normal(rng, (B, P, spc))
+    sdfc = jax.random.normal(rng, (B, P, spc))
+    rgb = jax.random.uniform(rng, (B, P, spc, 3))
+    qsdf = jax.random.normal(rng, (B, P, spc)) * 0.05
+
+    @jax.jit
+    def comp_fn(rad, sdfc, rgb, zs, qsdf):
+        return rgba2out(rad, sdfc, rgb, zs, qsdf, beta)
+
+    t_comp = timed(comp_fn, rad, sdfc, rgb, zs, qsdf)
+
+    @jax.jit
+    def knn_fn(pts, verts):
+        return jax.vmap(nearest_vertex_d2)(pts, verts)
+
+    t_knn = timed(knn_fn, pts, verts)
+
     print(f"mesh  (262k pts, 1 pass): {t_mesh*1e3:8.2f} ms  (x2 per step)")
     print(f"query (262k pts, 1 pass): {t_query*1e3:8.2f} ms  (x2 per step)")
     print(f"encoders:                 {t_enc*1e3:8.2f} ms")
     print(f"vertex visibility:        {t_vis*1e3:8.2f} ms")
+    print(f"knn nearest-vertex (1 pass): {t_knn*1e3:8.2f} ms  (x2 per step)")
+    print(f"sampling+sort (strat+importance+sort): {t_samp*1e3:8.2f} ms")
+    print(f"composite rgba2out (1 pass): {t_comp*1e3:8.2f} ms  (x2 per step)")
     print(f"full patch render:        {t_full*1e3:8.2f} ms")
     resid = t_full - 2 * t_mesh - 2 * t_query - t_enc - t_vis
     print(f"residual (sampling/composite/sort): {resid*1e3:8.2f} ms")

@@ -379,6 +379,13 @@ def cal_vis_sdf_prepared(mesh: dict, points: jnp.ndarray,
         Far points return |sdf| = sqrt(ub_d2 + 1e-6) with the exact
         winding sign and query_vis = 0 — callers substitute the
         nearest-vertex visibility via the returned mask.
+
+    Point layout note: a data-dependent Morton sort of the points (in
+    place of the static 16x8 blocked relayout) was probed and REJECTED —
+    for ray-structured point sets the blocked tiles are already
+    spatially compact (morton wins only +0.5 ms/call on the kernel)
+    while the device-side argsort + permute + inverse costs ~6.6 ms
+    (tools/morton_probe.py, docs/perf.md 2026-08-20).
     Returns sdf (N,), query_vis (N, 1), far (N,) bool or None.
     """
     from .mesh_query_pallas import TILE_P
