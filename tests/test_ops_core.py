@@ -33,6 +33,51 @@ def test_feat_sample_matches_torch(rng):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+def test_two_res_sample_matches_standalone(rng):
+    """grid_sample_two_res == two grid_sample_2d calls (one-gather
+    scheme; ops/grid_sample.py).  Exercises production 2:1 shapes, an
+    uneven ratio, and boundary coordinates."""
+    from vanerf_tpu.ops.grid_sample import (feat_sample_two_res_nhwc,
+                                            grid_sample_2d)
+    for (hf, wf, cf), (hc, wc, cc) in (
+            ((16, 16, 5), (8, 8, 3)),       # production-like 2:1
+            ((13, 16, 2), (7, 9, 4)),       # uneven, non-square
+            ((9, 9, 1), (9, 9, 2))):        # equal resolution (r = 1)
+        fine = jnp.asarray(rng.normal(size=(2, hf, wf, cf)),
+                           jnp.float32)
+        coarse = jnp.asarray(rng.normal(size=(2, hc, wc, cc)),
+                             jnp.float32)
+        uv = jnp.asarray(rng.random(size=(2, 257, 2)) * 2.6 - 1.3,
+                         jnp.float32)
+        # include exact corners/edges of the [-1, 1] range
+        uv = uv.at[:, :4].set(jnp.asarray(
+            [[-1.0, -1.0], [1.0, 1.0], [-1.0, 1.0], [1.0, -1.0]]))
+        got_f, got_c = feat_sample_two_res_nhwc(fine, coarse, uv)
+        want_f = jax.vmap(grid_sample_2d)(fine, uv)
+        want_c = jax.vmap(grid_sample_2d)(coarse, uv)
+        np.testing.assert_allclose(np.asarray(got_f), np.asarray(want_f),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(got_c), np.asarray(want_c),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_two_res_sample_grads_flow(rng):
+    """Gradients reach both maps through the fused table build."""
+    from vanerf_tpu.ops.grid_sample import grid_sample_two_res
+    fine = jnp.asarray(rng.normal(size=(8, 8, 3)), jnp.float32)
+    coarse = jnp.asarray(rng.normal(size=(5, 5, 2)), jnp.float32)
+    uv = jnp.asarray(rng.random(size=(31, 2)) * 2.0 - 1.0, jnp.float32)
+
+    def loss(fine, coarse):
+        f, c = grid_sample_two_res(fine, coarse, uv)
+        return (f ** 2).sum() + (c ** 2).sum()
+
+    gf, gc = jax.grad(loss, argnums=(0, 1))(fine, coarse)
+    assert np.isfinite(np.asarray(gf)).all()
+    assert np.isfinite(np.asarray(gc)).all()
+    assert float(jnp.abs(gf).sum()) > 0 and float(jnp.abs(gc).sum()) > 0
+
+
 # ------------------------------- rays ---------------------------------------
 
 def test_ray_bbox_matches_numpy(rng):

@@ -307,12 +307,28 @@ class VANeRF(nn.Module):
                             half[..., :ch1]]
             feat_tex_xy = half[..., ch1:]
         else:
-            feat_sampled = [
-                _psamp(f, xy) for f in feat_geo]             # (BV, N, C)
-            # feat_tex (64^2 x 8ch) measured SLOWER through the MXU kernel
-            # (11.87M vs 12.71M bench): 32 column chunks of C=8 output
-            # under-fill the MXU and the hat build scales with HW.
-            feat_tex_xy = feat_sample_nhwc(feat_tex, xy)
+            # VANERF_TWO_RES=1: ride the coarser feat_tex map on the
+            # half-res geo gather — one fused row gather serves both maps
+            # exactly (ops/grid_sample.py::grid_sample_two_res packs the
+            # coarse 3x3 anchor neighborhood into the fine rows), saving
+            # a full N-row gather per pass.
+            two_res = (os.environ.get("VANERF_TWO_RES", "0") != "0"
+                       and not self.is_initializing()
+                       and feat_tex.shape[1] <= feat_geo[1].shape[1]
+                       and feat_tex.shape[2] <= feat_geo[1].shape[2])
+            if two_res:
+                from ..ops.grid_sample import feat_sample_two_res_nhwc
+                g1_xy, feat_tex_xy = feat_sample_two_res_nhwc(
+                    feat_geo[1], feat_tex, xy)
+                feat_sampled = [_psamp(feat_geo[0], xy), g1_xy]
+            else:
+                feat_sampled = [
+                    _psamp(f, xy) for f in feat_geo]         # (BV, N, C)
+                # feat_tex (64^2 x 8ch) measured SLOWER through the MXU
+                # kernel (11.87M vs 12.71M bench): 32 column chunks of
+                # C=8 output under-fill the MXU and the hat build scales
+                # with HW.
+                feat_tex_xy = feat_sample_nhwc(feat_tex, xy)
 
         # fused query kernels (ops/fused_mlp.py): single-view inference
         # only — the XLA composition writes ~10+ intermediate tensors per

@@ -106,3 +106,126 @@ def feat_sample(feat: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
       (B, N, C)
     """
     return feat_sample_nhwc(jnp.transpose(feat, (0, 2, 3, 1)), uv)
+
+
+# ---------------------------------------------------------------------------
+# two-resolution fused sampling: one row gather serves two maps
+# ---------------------------------------------------------------------------
+#
+# TPU gathers are row-count bound (docs/perf.md), so sampling a COARSE
+# map (e.g. the 64^2 feat_tex) costs a full 262k-row gather even though
+# its table is tiny.  When a FINE map (e.g. the 128^2 geo half map) is
+# sampled at the same query points, the coarse gather can ride the fine
+# one: each fine row (y0, x0) additionally stores the coarse map's 3x3
+# neighborhood anchored at base = floor((y0, x0) * r), r = (Hc-1)/(Hf-1).
+# Because r <= 1, the coarse bilinear cell of any query that lands in
+# fine cell (y0, x0) starts at base + {0, 1} per axis, so the four
+# coarse corners are always inside that 3x3 block — two 2-way selects
+# per axis recover them exactly.  Values match the standalone
+# grid_sample_2d on the coarse map bit-for-bit in f32 except when a
+# query sits within ~1 ulp of a coarse cell boundary (the independently
+# rounded coarse coordinate may pick the neighboring corner set there;
+# the affected corner's weight is ~0, so the value error is ~1 ulp).
+
+
+def _coarse_base(fine_idx: jnp.ndarray, n_fine: int, n_coarse: int):
+    """floor(fine_idx * r) with the EXACT arithmetic used at pack time
+    (same f32 expression -> bitwise-identical rounding)."""
+    r = jnp.float32((n_coarse - 1.0) / (n_fine - 1.0))
+    return jnp.floor(fine_idx.astype(jnp.float32) * r)
+
+
+def pack_two_res(fine: jnp.ndarray, coarse: jnp.ndarray) -> jnp.ndarray:
+    """(Hf, Wf, 4*Cf + 9*Cc) fused table: fine 2x2 corner pack + the
+    coarse 3x3 neighborhood at each fine row's anchor (edge-replicated).
+    A cheap map-sized build that XLA CSEs across render passes."""
+    Hf, Wf, _ = fine.shape
+    Hc, Wc, _ = coarse.shape
+    fine_p = pack_corners(fine)
+    by = _coarse_base(jnp.arange(Hf), Hf, Hc).astype(jnp.int32)   # (Hf,)
+    bx = _coarse_base(jnp.arange(Wf), Wf, Wc).astype(jnp.int32)
+    blocks = []
+    for a in range(3):
+        ya = jnp.clip(by + a, 0, Hc - 1)
+        rows_a = jnp.take(coarse, ya, axis=0)                 # (Hf, Wc, Cc)
+        for b in range(3):
+            xb = jnp.clip(bx + b, 0, Wc - 1)
+            blocks.append(jnp.take(rows_a, xb, axis=1))       # (Hf, Wf, Cc)
+    return jnp.concatenate([fine_p] + blocks, axis=-1)
+
+
+def grid_sample_two_res(fine: jnp.ndarray, coarse: jnp.ndarray,
+                        uv: jnp.ndarray):
+    """Bilinear-sample a fine and a coarse map with ONE row gather.
+
+    Args:
+      fine:   (Hf, Wf, Cf) channels-last map.
+      coarse: (Hc, Wc, Cc) with Hc <= Hf and Wc <= Wf.
+      uv: (N, 2) in [-1, 1] (same convention as :func:`grid_sample_2d`).
+    Returns:
+      (fine_xy (N, Cf), coarse_xy (N, Cc)) — each equal to
+      ``grid_sample_2d(map, uv)`` (see the ulp note above).
+    """
+    Hf, Wf, Cf = fine.shape
+    Hc, Wc, Cc = coarse.shape
+
+    x = jnp.clip((uv[:, 0] + 1.0) * 0.5 * (Wf - 1.0), 0.0, Wf - 1.0)
+    y = jnp.clip((uv[:, 1] + 1.0) * 0.5 * (Hf - 1.0), 0.0, Hf - 1.0)
+    x0 = jnp.clip(jnp.floor(x), 0, Wf - 1)
+    y0 = jnp.clip(jnp.floor(y), 0, Hf - 1)
+    wx = x - x0
+    wy = y - y0
+
+    table = pack_two_res(fine, coarse).reshape(Hf * Wf, 4 * Cf + 9 * Cc)
+    idx = y0.astype(jnp.int32) * Wf + x0.astype(jnp.int32)
+    g = table.at[idx].get(mode="promise_in_bounds")
+
+    dt = fine.dtype
+    f00, f01 = g[:, :Cf], g[:, Cf:2 * Cf]
+    f10, f11 = g[:, 2 * Cf:3 * Cf], g[:, 3 * Cf:4 * Cf]
+    wxf = wx[:, None].astype(dt)
+    wyf = wy[:, None].astype(dt)
+    fine_xy = ((f00 * (1 - wxf) + f01 * wxf) * (1 - wyf)
+               + (f10 * (1 - wxf) + f11 * wxf) * wyf)
+
+    # coarse corner coordinates, rounded exactly like grid_sample_2d
+    xc = jnp.clip((uv[:, 0] + 1.0) * 0.5 * (Wc - 1.0), 0.0, Wc - 1.0)
+    yc = jnp.clip((uv[:, 1] + 1.0) * 0.5 * (Hc - 1.0), 0.0, Hc - 1.0)
+    xc0 = jnp.clip(jnp.floor(xc), 0, Wc - 1)
+    yc0 = jnp.clip(jnp.floor(yc), 0, Hc - 1)
+    wxc = (xc - xc0)[:, None].astype(dt)
+    wyc = (yc - yc0)[:, None].astype(dt)
+
+    dx = jnp.clip(xc0 - _coarse_base(x0, Wf, Wc), 0.0, 1.0) > 0.5
+    dy = jnp.clip(yc0 - _coarse_base(y0, Hf, Hc), 0.0, 1.0) > 0.5
+    dxn = dx[:, None]
+    dyn = dy[:, None]
+
+    def blk(a, b):
+        o = 4 * Cf + (a * 3 + b) * Cc
+        return g[:, o:o + Cc]
+
+    # rows a = dy + {0, 1}, then columns b = dx + {0, 1}: 2-way selects
+    c00 = jnp.where(dxn, jnp.where(dyn, blk(1, 1), blk(0, 1)),
+                    jnp.where(dyn, blk(1, 0), blk(0, 0)))
+    c01 = jnp.where(dxn, jnp.where(dyn, blk(1, 2), blk(0, 2)),
+                    jnp.where(dyn, blk(1, 1), blk(0, 1)))
+    c10 = jnp.where(dxn, jnp.where(dyn, blk(2, 1), blk(1, 1)),
+                    jnp.where(dyn, blk(2, 0), blk(1, 0)))
+    c11 = jnp.where(dxn, jnp.where(dyn, blk(2, 2), blk(1, 2)),
+                    jnp.where(dyn, blk(2, 1), blk(1, 1)))
+    coarse_xy = ((c00 * (1 - wxc) + c01 * wxc) * (1 - wyc)
+                 + (c10 * (1 - wxc) + c11 * wxc) * wyc)
+    return fine_xy, coarse_xy
+
+
+def feat_sample_two_res_nhwc(fine: jnp.ndarray, coarse: jnp.ndarray,
+                             uv: jnp.ndarray):
+    """Batched :func:`grid_sample_two_res`.
+
+    Args:
+      fine: (B, Hf, Wf, Cf); coarse: (B, Hc, Wc, Cc); uv: (B, N, 2).
+    Returns:
+      (B, N, Cf), (B, N, Cc)
+    """
+    return jax.vmap(grid_sample_two_res)(fine, coarse, uv)
