@@ -36,7 +36,7 @@ sys.path.insert(0, osp.abspath(osp.join(osp.dirname(__file__), "..")))
 from PIL import Image
 
 from vanerf_tpu.mano import load_mano_model, mano_forward, seal_verts_np
-from vanerf_tpu.data.synthetic import _vertex_colors  # densepose-style colors
+from vanerf_tpu.data.densepose import densepose_colors  # vendored v_color table
 
 IMG_SIZE = 256
 
@@ -88,7 +88,10 @@ def render_mask_densepose(verts, faces, K, R, t, H, W):
     face = np.asarray(face)
     bary = np.asarray(bary)
     mask = (face >= 0).astype(np.uint8) * 255
-    colors = _vertex_colors(verts)
+    # the reference's shipped dense-coordinate colors (v_color.pkl with
+    # the 779-seal expansion), NOT procedural colors: densepose images
+    # are model inputs, so the table must match bit-for-bit.
+    colors = densepose_colors(len(verts))
     tric = colors[faces]
     safe = np.maximum(face, 0)
     dp = (tric[safe] * bary[..., None]).sum(1)

@@ -1,0 +1,179 @@
+"""End-to-end forward parity: JAX render chain vs the torch reference
+replica, on converted weights.
+
+Closes the top residual risk from round 2: module-level parity existed
+(tests/test_convert_ckpt.py) but nothing checked the COMPOSITION — the
+per-point query wiring (projection, fg-mask semantics, boundary pix
+weights, spatial encoding, fusion ordering — ref src/model.py:748-957)
+and the ray marcher (uniform stratified + importance sampling, sorted
+coarse->fine merge, sigmoid-beta compositing rgba2out — ref
+src/model.py:1102-1494).
+
+Design (per VERDICT round 2):
+  * deterministic: eval mode, uniform z samples, uniform importance
+    samples, no noise;
+  * encoder feature maps are computed ONCE (JAX side) and fed to both
+    sides — encoders have their own layerwise parity tests, and torch's
+    CPU bicubic deviates ~0.3% which would mask wiring bugs at 1e-4;
+  * mesh-query outputs (sdf / interpolated visibility / vertex
+    visibility) are computed by the framework's oracle-tested XLA path
+    and fed to both sides;
+  * shapes are shrunk (32^2 images, 162-vert hands, 8+8 samples) so the
+    whole chain runs in the fast tier; every reshape in the chain is
+    shape-generic so the wiring exercised is the production wiring.
+"""
+
+import os
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+import sys
+sys.path.insert(0, "/root/repo/tools")
+sys.path.insert(0, "/root/repo/tests")
+
+from convert_reference_ckpt import convert_state_dict
+import torch_ref_replica as R
+
+from vanerf_tpu import config as vconfig
+from vanerf_tpu.data.synthetic import make_synthetic_batch
+from vanerf_tpu.models import VANeRF
+from vanerf_tpu.ops.mesh_query import cal_vis_sdf
+from vanerf_tpu.ops.rasterize import vertex_visibility
+from vanerf_tpu import renderer
+
+NUM_V = 162          # icosphere(subdiv=2) hand template
+H = W = 32
+OUT = 4              # 4x4 ray patch
+S_C = S_F = 8
+
+
+def small_cfg():
+    cfg = vconfig.default_cfg()
+    # 32^2 images need a shallower hourglass (production n_downsample=4
+    # underflows); everything else keeps the shipped production values.
+    cfg["models"]["VANeRF"]["geo_args"]["n_downsample"] = 2
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = small_cfg()
+    torch.manual_seed(7)
+    rep = R.LightningReplicaT(cfg, num_v=NUM_V, hw3=8, hw4=W)
+    rep.eval()
+    sd = {k: v.detach().numpy() for k, v in rep.state_dict().items()}
+    g, _d = convert_state_dict(sd, geo_cfg=cfg["models"]["VANeRF"]
+                               ["geo_args"])
+
+    model = VANeRF.from_config(cfg, num_v=NUM_V)
+    assert model.compute_dtype == "float32"   # CPU test platform
+
+    batch, faces, num_v = make_synthetic_batch(batch_size=1, H=H, W=W,
+                                               subdiv=2, num_input_view=1)
+    assert num_v == NUM_V
+    return cfg, rep, g, model, batch, faces
+
+
+def _vert_vis(batch, faces):
+    """Vertex visibility exactly as the renderer hoists it
+    (renderer.py:168-184)."""
+    verts = jnp.asarray(batch["verts"])
+    krt = jnp.asarray(batch["src_krt"])
+    vh = (verts @ jnp.swapaxes(krt[:, :3, :3], -1, -2)
+          + krt[:, None, :3, 3])
+    v_z = vh[..., 2:3]
+    v_xy = vh[..., :2] / (v_z + 1e-8)
+    v_xy01 = jnp.stack([v_xy[..., 0] / (W - 1.0),
+                        v_xy[..., 1] / (H - 1.0)], -1)
+    v_z01 = (v_z - batch["znear"]) / (batch["zfar"] - batch["znear"])
+    return jax.vmap(lambda xy, vz: vertex_visibility(
+        xy, vz, jnp.asarray(faces), size=256))(v_xy01, v_z01)
+
+
+def _center_grid():
+    lo = W // 2 - OUT // 2
+    y, x = np.meshgrid(np.arange(lo, lo + OUT), np.arange(lo, lo + OUT),
+                       indexing="ij")
+    return np.stack([x, y], -1).reshape(1, -1, 2).astype(np.float32)
+
+
+def test_full_chain_render_parity(setup):
+    cfg, rep, g, model, batch, faces = setup
+    grids = _center_grid()
+
+    # --- JAX side: the production render_patch, deterministic eval ---
+    jbatch = {k: jnp.asarray(v) if isinstance(v, np.ndarray) else v
+              for k, v in batch.items()}
+    out_j = renderer.render_patch(
+        model, g, jbatch, rng=jax.random.PRNGKey(0),
+        grids=jnp.asarray(grids), out_h=OUT, out_w=OUT,
+        sample_per_ray_c=S_C, sample_per_ray_f=S_F, fine=True,
+        uniform=True, training=False, n_views=1, sdf_chunk=64,
+        compute_vis_map=False)
+    out_j = {k: np.asarray(v) for k, v in out_j.items()}
+
+    # --- torch side: reference-faithful chain on the SAME features ---
+    feat_geo, feat_tex = model.apply(g, jbatch["src_img"],
+                                     method=model.encode)
+    vert_vis = _vert_vis(batch, faces)
+
+    def mesh_query_fn(pts_np):
+        sdf, qvis, _cf = cal_vis_sdf(
+            jnp.asarray(batch["verts"][0]), jnp.asarray(faces),
+            jnp.asarray(pts_np[0]), vert_vis[0], chunk=64)
+        return (np.asarray(sdf)[None], np.asarray(qvis)[None])
+
+    tbatch = dict(batch)
+    tbatch["feat_geo"] = [np.asarray(f) for f in feat_geo]
+    tbatch["feat_tex"] = np.asarray(feat_tex)
+    tbatch["vert_vis"] = np.asarray(vert_vis)
+    with torch.no_grad():
+        out_t = R.render_patch_eval_t(
+            rep, tbatch, grids, mesh_query_fn, OUT, OUT, S_C, S_F,
+            cfg["models"]["VANeRF"]["sp_args"])
+
+    # --- compare (depth/sdf only where rays carry weight: the /acc
+    # normalization amplifies noise on empty rays) ---
+    for k in ("tex_fg", "alpha", "tex_fg_fine", "alpha_fine"):
+        np.testing.assert_allclose(
+            out_j[k], out_t[k], rtol=1e-3, atol=1e-4,
+            err_msg=f"full-chain mismatch in {k}")
+    for k, acck in (("depth", "alpha"), ("depth_fine", "alpha_fine"),
+                    ("sdf", "alpha_fine")):
+        m = out_t[acck] > 1e-2
+        if m.any():
+            np.testing.assert_allclose(
+                out_j[k][m], out_t[k][m], rtol=1e-3, atol=2e-4,
+                err_msg=f"full-chain mismatch in {k}")
+
+    # the patch must actually see the hands (non-degenerate evidence)
+    assert out_t["alpha_fine"].max() > 0.2, "rays missed the fixture mesh"
+
+
+def test_attach_encode_wiring(setup):
+    """The 2*im-1 normalization + ds_geo/ds_tex pooling wiring around the
+    encoders (ref model.py:711-738) — loose tolerance because torch CPU
+    bicubic differs ~0.3% inside the hourglass."""
+    cfg, rep, g, model, batch, faces = setup
+    feat_geo, feat_tex = model.apply(g, jnp.asarray(batch["src_img"]),
+                                     method=model.encode)
+    im = torch.from_numpy(
+        np.moveaxis(batch["src_img"], -1, 1).copy()).float()
+    with torch.no_grad():
+        im_g = torch.nn.functional.avg_pool2d(im, 2, stride=2)
+        fg_t = rep.model.geo_encoder(2.0 * im_g - 1.0)
+        im_t = torch.nn.functional.avg_pool2d(im, 2, stride=2)
+        ft_t = rep.model.tex_encoder(2.0 * im_t - 1.0)
+
+    def rel(a, b):
+        a, b = np.asarray(a), np.moveaxis(b.numpy(), 1, -1)
+        return np.abs(a - b).mean() / (np.abs(b).mean() + 1e-6)
+
+    assert rel(feat_geo[0], fg_t[0]) < 0.02
+    assert rel(feat_geo[1], fg_t[1]) < 0.02
+    assert rel(feat_tex, ft_t) < 0.02

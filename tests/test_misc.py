@@ -70,6 +70,27 @@ def test_evaluator_saves_and_scores(tmp_path, rng):
     assert os.path.exists(os.path.join(str(tmp_path), "0", "pred"))
 
 
+def test_evaluator_lpips_uint8_crop_semantics(rng):
+    """LPIPS must see uint8-quantized crops (PNG round-trip semantics,
+    reference src/evaluator.py:47-64), not raw float crops."""
+    ev = Evaluator(None)
+    seen = []
+    ev.lpips_fn = lambda p, g: (seen.append((p, g)), 0.5)[1]
+    pred = rng.random((16, 16, 3)).astype(np.float32)
+    gt = rng.random((16, 16, 3)).astype(np.float32)
+    s = ev.compute_score(pred, gt, mask_at_box=np.ones((16, 16)))
+    assert s["lpips"] == 0.5
+    (p, g), = seen
+    for img, src in [(p, pred), (g, gt)]:
+        # exactly the PNG save+reload quantization
+        np.testing.assert_array_equal(
+            img, (np.clip(src, 0, 1) * 255).astype(np.uint8)
+            .astype(np.float32) / 255.0)
+        # and genuinely quantized (255*img is integral)
+        np.testing.assert_allclose(np.round(img * 255), img * 255,
+                                   atol=1e-6)
+
+
 def test_camera_path_orbits():
     cams = get_360cameras(np.eye(4, dtype=np.float32), 500.0, 10.0, 1.0,
                           256, 256, 5.0, 15.0, n_frames=20)

@@ -292,22 +292,23 @@ def feat_sample_t(feat, uv):
                          align_corners=True)[..., 0].permute(0, 2, 1)
 
 
-def knn_vis_t(query, vert, vert_feat, vert_vis):
+def knn_vis_t(query, vert, vert_feat, vert_vis, num_v=NUM_V):
     """KNN_vis (networks.py:27-33) with brute-force K=1 (no pytorch3d)."""
     d = torch.cdist(query, vert)
     idx = d.argmin(-1)                                      # (B, N)
     assert query.shape[0] == 1, "replica supports B=1 like the ref indexing"
     i = idx[0]
     f = vert_feat[:, i] * vert_vis[:, i]
-    f_toh = torch.cat([vert_feat[:, NUM_V:], vert_feat[:, :NUM_V]], 1)
-    v_toh = torch.cat([vert_vis[:, NUM_V:], vert_vis[:, :NUM_V]], 1)
+    f_toh = torch.cat([vert_feat[:, num_v:], vert_feat[:, :num_v]], 1)
+    v_toh = torch.cat([vert_vis[:, num_v:], vert_vis[:, :num_v]], 1)
     f_t = f_toh[:, i] * v_toh[:, i]
     return f, f_t, vert_vis[:, i], v_toh[:, i]
 
 
 class GeoVisFusionT(nn.Module):
-    def __init__(self):
+    def __init__(self, num_v=NUM_V):
         super().__init__()
+        self.num_v = num_v
         self.fconv_at = nn.Sequential(
             nn.Conv1d(196, 10, 1, bias=False), nn.ReLU(True),
             nn.Conv1d(10, 3, 1, bias=False), nn.Sigmoid())
@@ -329,7 +330,7 @@ class GeoVisFusionT(nn.Module):
                                           self.fconv_ated1)]):
             vert_feat = feat_sample_t(fg[si], vert_xy)
             knn, knn_toh, vis, vis_toh = knn_vis_t(v, vert, vert_feat,
-                                                   vert_vis)
+                                                   vert_vis, self.num_v)
             fs = feat_sampled[si]
             ctx = torch.cat([query_sdf, query_vis, vis, vis_toh], 2)
             ff = torch.cat([fs, knn, knn_toh, ctx], 2)
@@ -342,8 +343,9 @@ class GeoVisFusionT(nn.Module):
 
 class TexVisFusionT(nn.Module):
     def __init__(self, q_feat_in=96, q_feat_out=40, if_ch3=8, hw3=64,
-                 hw4=256):
+                 hw4=256, num_v=NUM_V):
         super().__init__()
+        self.num_v = num_v
         self.fconv = nn.Sequential(
             nn.Conv1d(q_feat_in, q_feat_in, 1, bias=False), nn.ReLU(True),
             nn.Conv1d(q_feat_in, q_feat_out, 1, bias=False))
@@ -351,9 +353,9 @@ class TexVisFusionT(nn.Module):
             nn.Conv1d(q_feat_in, q_feat_in, 1, bias=False), nn.ReLU(True),
             nn.Conv1d(q_feat_in, 6, 1, bias=False), nn.Sigmoid())
         self.fconv_gt = nn.Sequential(
-            nn.Conv1d(42, NUM_V, 3, padding=1, bias=False),
+            nn.Conv1d(42, num_v, 3, padding=1, bias=False),
             nn.LayerNorm(18, 1e-6), nn.ReLU(True),
-            nn.Conv1d(NUM_V, NUM_V * 2, 3, padding=1, bias=False),
+            nn.Conv1d(num_v, num_v * 2, 3, padding=1, bias=False),
             nn.LayerNorm(18, 1e-6), nn.ReLU(True))
         self.fconv3 = nn.Sequential(
             nn.Conv2d(if_ch3, 21, 3, padding=1, bias=False),
@@ -378,7 +380,8 @@ class TexVisFusionT(nn.Module):
         gf = torch.cat([gf_img, gf], -1)
         gf_vert = self.fconv_gt(gf)
         vert_feat = torch.cat([vert_feat, gf_vert], 2)
-        knn, knn_toh, vis, vis_toh = knn_vis_t(v, vert, vert_feat, vert_vis)
+        knn, knn_toh, vis, vis_toh = knn_vis_t(v, vert, vert_feat, vert_vis,
+                                               self.num_v)
         knn_gf, knn_toh_gf = knn[..., 11:], knn_toh[..., 11:]
         knn, knn_toh = knn[..., :11], knn_toh[..., :11]
         qf = torch.cat([img_xy, ft_xy], 2)
@@ -512,14 +515,19 @@ class SpatialEncoderT(nn.Module):
 # ---------------------------------------------------------------------------
 
 class VANeRFT(nn.Module):
-    """Attribute-for-attribute structure of ref model.py:604-667."""
+    """Attribute-for-attribute structure of ref model.py:604-667.
 
-    def __init__(self, cfg):
+    num_v / hw3 / hw4 default to the production shapes (779 sealed verts,
+    64^2 feat_tex, 256^2 images); the full-chain parity test shrinks them.
+    """
+
+    def __init__(self, cfg, num_v=NUM_V, hw3=64, hw4=256):
         super().__init__()
         m = cfg["models"]["VANeRF"]
+        self.num_v = num_v
         self.sigmoid_beta = nn.Parameter(0.1 * torch.ones(1))
-        self.geo_vis_fusion = GeoVisFusionT()
-        self.tex_vis_fusion = TexVisFusionT()
+        self.geo_vis_fusion = GeoVisFusionT(num_v=num_v)
+        self.tex_vis_fusion = TexVisFusionT(hw3=hw3, hw4=hw4, num_v=num_v)
         sp_dim = (1 + 2 * m["sp_args"]["sp_level"]) * m["sp_args"]["n_kpt"]
         n_dims1 = list(m["mlp_geo_args"]["n_dims1"])
         n_dims1[0] = sp_dim
@@ -551,7 +559,363 @@ class LightningReplicaT(nn.Module):
     (model.py:42-59): generator under `model.`, discriminator under
     `discriminator.`."""
 
-    def __init__(self, cfg):
+    def __init__(self, cfg, num_v=NUM_V, hw3=64, hw4=256):
         super().__init__()
-        self.model = VANeRFT(cfg)
+        self.model = VANeRFT(cfg, num_v=num_v, hw3=hw3, hw4=hw4)
         self.discriminator = DiscriminatorVisT()
+
+
+# ---------------------------------------------------------------------------
+# full-chain eval-path forward (reference model.py:748-957 + 1102-1494),
+# used by tests/test_fullchain_parity.py to pin the COMPOSITION of the
+# modules above: projection, fg-mask semantics, boundary pix weights,
+# spatial encoding, fusion ordering, IBR reshapes, coarse->fine merge and
+# sigmoid-beta compositing.  Deterministic: eval mode (no view dropout, no
+# density noise), uniform stratified + uniform importance samples.
+# n_views == 1 only — the reference's multi-view geo-fusion path cannot
+# run as written (networks.py returns (BV,1,N,C) tiles that cannot
+# torch.cat with the (B,V,N,C) spatial encoding), and both shipped
+# configs set num_input_view=1.
+# ---------------------------------------------------------------------------
+
+
+def position_embedding_t(x, nlevels, scale=1.0):
+    """spatial.py:19-43."""
+    if nlevels <= 0:
+        return x
+    import numpy as _np
+    v, val = [], 1
+    for _ in range(nlevels):
+        v.append(scale * _np.pi * val)
+        val *= 2
+    vec = torch.from_numpy(_np.asarray(v, dtype=_np.float32))
+    B, N, _ = x.shape
+    y = x[:, :, None, :] * vec[None, None, :, None]
+    z = torch.cat((torch.sin(y), torch.cos(y)), axis=-1).view(B, N, -1)
+    return torch.cat([x, z], -1)
+
+
+def spatial_rel_z_decay_t(v, extrin, kpt3d, sp_level=3, scale=1.0,
+                          sigma=0.1):
+    """SpatialEncoder rel_z_decay forward (spatial.py:109-117), V=1.
+
+    v: (B, N, 3) world pts; extrin: (B, 4, 4); kpt3d: (B, K, 3).
+    Returns (B, N, (1+2L)*K).
+    """
+    Rt = extrin
+    cxyz = v @ Rt[:, :3, :3].transpose(1, 2) + Rt[:, :3, 3][:, None]
+    kptxyz = kpt3d @ Rt[:, :3, :3].transpose(1, 2) + Rt[:, :3, 3][:, None]
+    dz = scale * (cxyz[:, :, None, 2:3] - kptxyz[:, None, :, 2:3])
+    dxyz = cxyz[:, :, None] - kptxyz[:, None, :]
+    w = torch.exp(-(dxyz ** 2).sum(-1, keepdim=True) / (2.0 * sigma ** 2))
+    w = w.view(*w.shape[:2], -1)                       # (B, N, K)
+    out = position_embedding_t(dz.view(*dz.shape[:2], -1), sp_level)
+    out = out.view(*out.shape[:2], -1, w.shape[-1]) * w[:, :, None]
+    return out.view(*out.shape[:2], -1)
+
+
+def sdf_activation_t(beta, x):
+    """model.py:879-882: sigma = sigmoid(x/beta)/beta, beta >= 2e-3."""
+    beta = torch.clamp(beta, min=2e-3)
+    return torch.sigmoid(x / beta) / beta
+
+
+def query_eval_t(rep, pts, view, cam, feat_geo, feat_tex, img, fg_mask,
+                 verts, vert_vis, query_vis, query_sdf, kpt3d, n_samples,
+                 sp_args):
+    """VANeRF.query at n_views=1, eval mode (model.py:748-877).
+
+    pts/view: (1, N, 3); cam: dict KRT/extrin (1,4,4) + width/height/
+    znear/zfar scalars; feat_geo: [coarse, fine] NCHW; feat_tex/img NCHW;
+    fg_mask (1,1,H,W); verts (1,2V,3); vert_vis (1,2V,1);
+    query_vis (1,N,1) float 0/1; query_sdf (1,N); kpt3d (1,K,3).
+    Returns out (1, N, 5), valid (1, N, 1).
+    """
+    net = rep.model
+    v = pts
+    KRT = cam["KRT"]
+    width, height = cam["width"], cam["height"]
+    znear, zfar = cam["znear"], cam["zfar"]
+
+    vh = v @ KRT[:, :3, :3].transpose(1, 2) + KRT[:, :3, 3][:, None]
+    z = vh[..., 2:3]
+    xy = vh[..., :2] / z
+    xy = torch.stack([2.0 * (xy[..., 0] / (width - 1.0)) - 1.0,
+                      2.0 * (xy[..., 1] / (height - 1.0)) - 1.0], -1)
+    z = 2.0 * (z - znear) / (zfar - znear) - 1.0
+    eps = 1e-2
+    mask_xy = (xy >= -1.0 - eps) & (xy <= 1.0 + eps)
+    mask_z = z >= -1.0
+    out_mask = (mask_xy[..., 0] & mask_xy[..., 1]
+                & mask_z[..., 0])[..., None].float()
+    out_mask = out_mask.view(-1, 1, *out_mask.shape[1:])   # (B, V=1, N, 1)
+    fg_mask_xy = feat_sample_t(fg_mask.float(), xy)
+    fg_mask_xy = fg_mask_xy.view(-1, 1, *fg_mask_xy.shape[1:])
+    out_mask = (out_mask * (fg_mask_xy > 0.1).all(1, keepdim=True)
+                * out_mask.bool().all(1, keepdim=True))
+
+    # smooth boundary pixel weights (model.py:813-821)
+    std = 0.1
+    with torch.no_grad():
+        xyz = 0.5 * torch.cat([xy, z], -1) + 0.5
+        dist_boundary = torch.min(xyz, 1.0 - xyz)
+        pix_weight = torch.sigmoid(5.0 * (dist_boundary / std - 1.0))
+        pix_weight = pix_weight[..., 0] * pix_weight[..., 1] \
+            * pix_weight[..., 2]
+        pix_weight = pix_weight.view(-1, 1, pix_weight.shape[1], 1)
+        pix_weight = pix_weight * out_mask
+        pix_weight = pix_weight / (pix_weight.sum(1, keepdim=True) + 1e-6)
+
+    feat_sampled = [feat_sample_t(f, xy).unsqueeze(1) for f in feat_geo]
+
+    y = spatial_rel_z_decay_t(
+        v, cam["extrin"], kpt3d, sp_level=sp_args["sp_level"],
+        scale=sp_args["scale"], sigma=sp_args.get("sigma", 0.1))
+    y = y.view(-1, 1, *y.shape[1:])                        # (B, 1, N, sp)
+
+    # project mesh vertices into the source view (model.py:845-853)
+    vvh = verts @ KRT[:, :3, :3].transpose(1, 2) + KRT[:, :3, 3][:, None]
+    vz = vvh[..., 2:3]
+    vert_xy = vvh[..., :2] / (vz + 1e-8)
+    vert_xy = torch.stack(
+        [2.0 * (vert_xy[..., 0] / (width - 1.0)) - 1.0,
+         2.0 * (vert_xy[..., 1] / (height - 1.0)) - 1.0], -1)
+
+    fused = net.geo_vis_fusion(
+        vert_xy, feat_geo, [f.squeeze(1) for f in feat_sampled], verts, v,
+        vert_vis.type(torch.int), query_vis, query_sdf.unsqueeze(-1))
+    fused = [f.unsqueeze(1) for f in fused]                # (B, 1, N, C)
+
+    out, valid, _lv, latent_fused = net.mlp_geo(y, fused, out_mask,
+                                                pix_weight)
+    rgb = query_color_t(rep, vert_xy, verts, vert_vis, query_vis, v, xy,
+                        view, feat_tex, latent_fused, KRT, img,
+                        out_mask.view(-1, pts.shape[1], 1), n_samples)
+    out = torch.cat([out, rgb], -1)                        # (B, N, 5)
+    return out, valid
+
+
+def query_color_t(rep, vert_xy, verts, vert_vis, query_vis, v, xy, view,
+                  feat_tex, latent_fused, KRT, img, out_mask, n_samples):
+    """query_color at n_views=1 (model.py:884-957)."""
+    net = rep.model
+    BV, N, _ = v.shape
+    img_xy = feat_sample_t(img, xy)                        # (1, N, 3)
+    pHW = N // n_samples
+    feat_xy = feat_sample_t(feat_tex, xy)
+    latent_fused = net.ibr_compress_gfeat(latent_fused)
+    rgb_feat = net.tex_vis_fusion(
+        vert_xy, feat_tex, feat_xy, verts, v, vert_vis.type(torch.int),
+        query_vis, img_xy, img, latent_fused)
+
+    inv_calib = torch.inverse(KRT.float())
+    cam_pos = inv_calib[:, :3, 3:4]
+    cam_rays = F.normalize(v - cam_pos.view(-1, 1, 3), p=2, dim=-1)
+    ray_diff = (view - cam_rays).view(1, 1, N, 3)
+    ray_diff_norm = torch.norm(ray_diff, dim=-1, keepdim=True)
+    ray_diff_dot = (cam_rays * view).sum(-1).view(1, 1, N, 1)
+    ray_diff_direction = ray_diff / torch.clamp(ray_diff_norm, min=1e-6)
+    ray_diff = torch.cat([ray_diff_direction, ray_diff_dot], dim=-1)
+
+    def to_ibr(x):
+        x = x.view(1, 1, pHW, n_samples, -1).permute(0, 2, 3, 1, 4)
+        return x.reshape(pHW, n_samples, 1, -1)
+
+    out = net.mlp_tex(to_ibr(rgb_feat), to_ibr(ray_diff), to_ibr(out_mask))
+    return out.reshape(1, N, 3)
+
+
+def rgba2out_t(rep, rgba, z, vert_sdf):
+    """model.py:1464-1494 (dense path: density = sigmoid-beta of the
+    summed prior)."""
+    net = rep.model
+    alpha = rgba[..., 0] + vert_sdf.squeeze(-1)
+    alpha = sdf_activation_t(net.sigmoid_beta, -alpha)
+    sdf = rgba[..., 1]
+    rgb = rgba[..., 2:]
+    dist = torch.cat([z[..., 1:] - z[..., :-1],
+                      1e10 * torch.ones_like(z[..., :1])], -1)
+    contrib = 1.0 - torch.exp(-alpha * dist)
+    contrib = contrib * torch.cumprod(
+        torch.cat([torch.ones_like(contrib[..., :1]),
+                   1 - contrib[..., :-1]], -1), -1)
+    color = (rgb * contrib[..., None]).sum(-2)
+    alpha_acc = contrib.sum(-1)
+    sdf = (sdf * contrib).sum(-1) / (alpha_acc + 1e-8)
+    depth = (z * contrib).sum(-1) / (alpha_acc + 1e-8)
+    return color, depth, alpha_acc, contrib, sdf
+
+
+def importance_sample_t(contrib, z, sample_per_ray, uniform=True):
+    """model.py:1424-1462 (uniform=True for determinism)."""
+    with torch.no_grad():
+        assert contrib.shape[-1] == z.shape[-1] - 1
+        contrib = contrib + 1e-5
+        pdf = contrib / contrib.sum(-1, keepdim=True)
+        cdf = torch.cumsum(pdf, -1)
+        cdf = torch.cat([torch.zeros_like(cdf[:, :, :1]), cdf], 2)
+        if uniform:
+            sample = torch.linspace(0.0, 1.0, steps=sample_per_ray)
+            sample = sample[None, None, :].expand(*cdf.shape[:-1], -1)
+        else:
+            sample = torch.rand(*cdf.shape[:-1], sample_per_ray)
+        idx = torch.searchsorted(cdf, sample.contiguous(), right=True)
+        idx_prev = (idx - 1).clamp(min=0)
+        idx = idx.clamp(max=cdf.shape[-1] - 1)
+        idx = torch.cat([idx_prev, idx], -1)
+        cdf_idx = torch.gather(cdf, -1, idx)
+        cdf_prev = cdf_idx[:, :, :sample_per_ray]
+        cdf_next = cdf_idx[:, :, sample_per_ray:]
+        z_idx = torch.gather(z, -1, idx)
+        z_prev = z_idx[:, :, :sample_per_ray]
+        z_next = z_idx[:, :, sample_per_ray:]
+        num = sample - cdf_prev
+        den = cdf_next - cdf_prev
+        den = torch.where(den < 1e-5, torch.ones_like(den), den)
+        return z_prev + (num / den) * (z_next - z_prev)
+
+
+def ray_bbox_intersection_t(bounds, orig, direct, boffset=(-0.01, 0.01)):
+    """model.py:1496-1570, B=1."""
+    assert bounds.shape[0] == 1
+    bounds, orig, direct = bounds[0], orig[0], direct[0]
+    orig = orig.expand(direct.shape[0], -1)
+    bounds = bounds + torch.tensor([boffset[0], boffset[1]])[:, None]
+    nominator = bounds[None] - orig[:, None]
+    direct = direct.detach().clone()
+    direct[direct.abs() < 1e-5] = 1e-5
+    d_intersect = (nominator / direct[:, None]).reshape(-1, 6)
+    p_intersect = d_intersect[..., None] * direct[:, None] + orig[:, None]
+    b = bounds.reshape(-1)
+    eps = 1e-6
+    p_mask_at_box = ((p_intersect[..., 0] >= b[0] - eps)
+                     * (p_intersect[..., 0] <= b[3] + eps)
+                     * (p_intersect[..., 1] >= b[1] - eps)
+                     * (p_intersect[..., 1] <= b[4] + eps)
+                     * (p_intersect[..., 2] >= b[2] - eps)
+                     * (p_intersect[..., 2] <= b[5] + eps))
+    mask_at_box = p_mask_at_box.sum(-1) == 2
+    p_intervals = p_intersect[mask_at_box][
+        p_mask_at_box[mask_at_box]].reshape(-1, 2, 3)
+    norm_ray = torch.linalg.norm(direct[mask_at_box], dim=1)
+    d0 = torch.linalg.norm(p_intervals[:, 0] - orig[mask_at_box],
+                           dim=1) / norm_ray
+    d1 = torch.linalg.norm(p_intervals[:, 1] - orig[mask_at_box],
+                           dim=1) / norm_ray
+    d01 = torch.stack((d0, d1), -1)
+    near_final = torch.ones_like(mask_at_box.float())
+    far_final = torch.ones_like(mask_at_box.float())
+    near_final[mask_at_box] = d01.min(-1).values.float()
+    far_final[mask_at_box] = d01.max(-1).values.float()
+    return (near_final[None, :, None], far_final[None, :, None],
+            mask_at_box[None, :, None])
+
+
+def render_patch_eval_t(rep, batch, grids, mesh_query_fn, out_h, out_w,
+                        sample_per_ray_c, sample_per_ray_f, sp_args,
+                        nml_scale=100.0, fine=True):
+    """Deterministic eval-path patch render (model.py:1102-1360).
+
+    batch: numpy channels-last dict in the framework's schema (src_img
+    (1,H,W,3), src_mask (1,H,W,1), src_krt/src_extrin (1,4,4), tar_k/
+    tar_rt (1,4,4), verts (1,2V,3), kpt3d (1,K,3), bounds (1,2,3),
+    znear/zfar scalars, feat_geo/feat_tex numpy NHWC maps, vert_vis
+    (1,2V,1)).  mesh_query_fn(pts_np (1,N,3)) -> (sdf (1,N),
+    query_vis (1,N,1)) — the SAME mesh-query values the JAX side uses.
+    Returns dict of numpy outputs (channels-last).
+    """
+    import numpy as _np
+    t = lambda a: torch.from_numpy(_np.asarray(a, _np.float32))
+    nchw_ = lambda a: torch.from_numpy(
+        _np.moveaxis(_np.asarray(a, _np.float32), -1, 1).copy())
+
+    H, W = batch["src_img"].shape[1:3]
+    znear, zfar = float(batch["znear"]), float(batch["zfar"])
+    cam_in = {"KRT": t(batch["src_krt"]), "extrin": t(batch["src_extrin"]),
+              "width": W, "height": H, "znear": znear, "zfar": zfar}
+    feat_geo = [nchw_(f) for f in batch["feat_geo"]]
+    feat_tex = nchw_(batch["feat_tex"])
+    img = nchw_(batch["src_img"])
+    fg_mask = nchw_(batch["src_mask"])
+    verts = t(batch["verts"])
+    vert_vis = t(batch["vert_vis"])
+    kpt3d = t(batch["kpt3d"])
+
+    def eval_func(eval_pts, view, n_pts_samples, query_vis, query_sdf):
+        rgba, mask = query_eval_t(
+            rep, eval_pts, view, cam_in, feat_geo, feat_tex, img, fg_mask,
+            verts, vert_vis, query_vis, query_sdf, kpt3d, n_pts_samples,
+            sp_args)
+        mask = mask.float()
+        if mask.dim() == 2:
+            mask = mask[..., None]
+        sdf = mask * rgba[..., :1] + (1.0 - mask) * (0.1 / nml_scale)
+        rad = rgba[..., 1:2]
+        rgb = rgba[..., 2:]
+        alpha = mask * F.relu(rad)
+        return torch.cat([alpha, sdf, rgb], -1)
+
+    # rays (model.py:1203-1213)
+    grids = t(grids)                                      # (1, P, 2)
+    grids_h = torch.cat([grids, torch.ones_like(grids[..., :1])], -1)
+    inv_K = torch.inverse(t(batch["tar_k"])[:, :3, :3]).transpose(1, 2)
+    cam_rays = torch.bmm(grids_h, inv_K)
+    znear_rays = torch.norm(torch.bmm(znear * grids_h, inv_K), p=2, dim=-1,
+                            keepdim=True)
+    zfar_rays = torch.norm(torch.bmm(zfar * grids_h, inv_K), p=2, dim=-1,
+                           keepdim=True)
+    RT = t(batch["tar_rt"])
+    cam_rays = F.normalize(torch.bmm(cam_rays, RT[:, :3, :3]), p=2, dim=-1)
+    cam_pos = -torch.bmm(RT[:, :3, 3][:, None], RT[:, :3, :3])
+
+    with torch.no_grad():
+        z1, z2, hit = ray_bbox_intersection_t(t(batch["bounds"]), cam_pos,
+                                              cam_rays)
+    mask_z1 = (hit & (z1 > znear_rays)).float()
+    znear_rays = mask_z1 * z1 + (1.0 - mask_z1) * znear_rays
+    mask_z2 = (hit & (z2 < zfar_rays)).float()
+    zfar_rays = mask_z2 * z2 + (1.0 - mask_z2) * zfar_rays
+
+    z = torch.linspace(0.0, 1.0, steps=sample_per_ray_c)
+    z = z[None, None, :].expand(*znear_rays.shape[:2], -1)
+    z = znear_rays + (zfar_rays - znear_rays) * z          # uniform path
+
+    B = 1
+
+    def run_pass(z_depths, n_samples):
+        eval_pts = cam_pos[:, :, None] + cam_rays[:, :, None] \
+            * z_depths[..., None]
+        eval_pts = eval_pts.view(B, -1, 3)
+        view = cam_rays[:, :, None, :].expand(-1, -1, n_samples, -1)
+        view = view.reshape(B, -1, 3)
+        sdf_np, qvis_np = mesh_query_fn(eval_pts.numpy())
+        query_sdf = t(sdf_np)
+        query_vis = t(qvis_np)
+        rgba = eval_func(eval_pts, view, n_samples, query_vis, query_sdf)
+        return rgba, query_sdf
+
+    rgba_c, qsdf_c = run_pass(z, sample_per_ray_c)
+    rgba = rgba_c.view(B, -1, sample_per_ray_c, rgba_c.shape[-1])
+    qsdf_cv = qsdf_c.view(B, -1, sample_per_ray_c, 1)
+    color, depth, alpha, contrib, sdf = rgba2out_t(rep, rgba, z, qsdf_cv)
+    out = {"tex_fg": color.view(B, out_h, out_w, 3),
+           "depth": depth.view(B, out_h, out_w),
+           "alpha": alpha.view(B, out_h, out_w)}
+
+    if fine:
+        z_mid = 0.5 * (z[..., 1:] + z[..., :-1])
+        z_fine = importance_sample_t(contrib[..., 1:-1], z_mid,
+                                     sample_per_ray_f, uniform=True)
+        z_fine = torch.sort(torch.cat([z, z_fine], -1), -1)[0]
+        n_all = sample_per_ray_c + sample_per_ray_f
+        rgba_f, qsdf_f = run_pass(z_fine, n_all)
+        rgba_f = rgba_f.view(*z_fine.shape, rgba_f.shape[-1])
+        qsdf_fv = qsdf_f.view(B, -1, n_all, 1)
+        color_f, depth_f, alpha_f, _, sdf_f = rgba2out_t(
+            rep, rgba_f, z_fine, qsdf_fv)
+        out.update({"tex_fg_fine": color_f.view(B, out_h, out_w, 3),
+                    "depth_fine": depth_f.view(B, out_h, out_w),
+                    "alpha_fine": alpha_f.view(B, out_h, out_w),
+                    "sdf": sdf_f.view(B, out_h, out_w)})
+
+    return {k: v.detach().numpy() for k, v in out.items()}

@@ -81,8 +81,13 @@ class Evaluator:
         }
         if self.lpips_fn is not None:
             x, y, w, h = bounding_rect(mask_at_box)
-            out["lpips"] = float(self.lpips_fn(
-                rgb_pred[y:y + h, x:x + w], rgb_gt[y:y + h, x:x + w]))
+            # PNG round-trip semantics: the reference computes LPIPS on
+            # crops saved to PNG and reloaded (src/evaluator.py:47-64), so
+            # quantize to uint8 first — keeps the reported number
+            # bit-comparable with the reference's definition.
+            p8 = _png_roundtrip(rgb_pred[y:y + h, x:x + w])
+            g8 = _png_roundtrip(rgb_gt[y:y + h, x:x + w])
+            out["lpips"] = float(self.lpips_fn(p8, g8))
         else:
             out["lpips"] = float("nan")
         return out
@@ -108,6 +113,13 @@ class Evaluator:
                     (np.clip(crop, 0, 1) * 255).astype(np.uint8)).save(
                     os.path.join(
                         d, f"frame{frame_index}_t_0_view_{view_index}.png"))
+
+
+def _png_roundtrip(img: np.ndarray) -> np.ndarray:
+    """uint8-quantize a float [0,1] image exactly as a PNG save+reload
+    would (reference src/evaluator.py:47-64 computes LPIPS on reloaded
+    PNG crops; PNG is lossless, so the only effect is the uint8 cast)."""
+    return (np.clip(img, 0, 1) * 255).astype(np.uint8).astype(np.float32) / 255.0
 
 
 def _try_load_lpips():

@@ -312,7 +312,11 @@ class VANeRF(nn.Module):
             # exactly (ops/grid_sample.py::grid_sample_two_res packs the
             # coarse 3x3 anchor neighborhood into the fine rows), saving
             # a full N-row gather per pass.
+            # inference-only (like the MXU_INTERP gate): under training it
+            # would swap the backward path onto the 9-block pack_two_res
+            # instead of the feat_sample_nhwc VJP.
             two_res = (os.environ.get("VANERF_TWO_RES", "0") != "0"
+                       and not training
                        and not self.is_initializing()
                        and feat_tex.shape[1] <= feat_geo[1].shape[1]
                        and feat_tex.shape[2] <= feat_geo[1].shape[2])

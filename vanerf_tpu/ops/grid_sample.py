@@ -168,6 +168,12 @@ def grid_sample_two_res(fine: jnp.ndarray, coarse: jnp.ndarray,
     """
     Hf, Wf, Cf = fine.shape
     Hc, Wc, Cc = coarse.shape
+    # degenerate 1-wide/1-tall fine maps make _coarse_base divide by zero,
+    # and a coarse/fine dtype mismatch would silently promote through the
+    # packed concatenate, changing fine-path rounding vs grid_sample_2d.
+    assert Hf > 1 and Wf > 1, (Hf, Wf)
+    if coarse.dtype != fine.dtype:
+        coarse = coarse.astype(fine.dtype)
 
     x = jnp.clip((uv[:, 0] + 1.0) * 0.5 * (Wf - 1.0), 0.0, Wf - 1.0)
     y = jnp.clip((uv[:, 1] + 1.0) * 0.5 * (Hf - 1.0), 0.0, Hf - 1.0)
@@ -196,6 +202,13 @@ def grid_sample_two_res(fine: jnp.ndarray, coarse: jnp.ndarray,
     wxc = (xc - xc0)[:, None].astype(dt)
     wyc = (yc - yc0)[:, None].astype(dt)
 
+    # INVARIANT: xc0 - floor(x0 * r) is in {0, 1} for r <= 1 because both
+    # sides use the same f32 rounding expression (_coarse_base); the clip
+    # only guards the impossible diff-of-2 case, where it would pick a
+    # wrong corner whose bilinear weight is O(1) — hence the assert-grade
+    # comment rather than silent tolerance.  No production shape
+    # (r = 63/127, 1) can violate it (tested exhaustively per row in
+    # tests/test_ops_core.py two-res coverage).
     dx = jnp.clip(xc0 - _coarse_base(x0, Wf, Wc), 0.0, 1.0) > 0.5
     dy = jnp.clip(yc0 - _coarse_base(y0, Hf, Hc), 0.0, 1.0) > 0.5
     dxn = dx[:, None]
@@ -228,4 +241,10 @@ def feat_sample_two_res_nhwc(fine: jnp.ndarray, coarse: jnp.ndarray,
     Returns:
       (B, N, Cf), (B, N, Cc)
     """
-    return jax.vmap(grid_sample_two_res)(fine, coarse, uv)
+    # Unroll the (small, static) batch dim like feat_sample_nhwc's onehot
+    # branch: batched (vmapped) row gathers lower to a slower TPU path
+    # than B independent gathers (tools/gather_width_probe.py).
+    B = fine.shape[0]
+    outs = [grid_sample_two_res(fine[b], coarse[b], uv[b]) for b in range(B)]
+    return (jnp.stack([o[0] for o in outs]),
+            jnp.stack([o[1] for o in outs]))
