@@ -63,8 +63,8 @@ def main(argv=None):
     rng = jax.random.PRNGKey(0)
     state, _tx = create_train_state(model, disc, rng, batch, cfg, 10)
     if args.model_ckpt:
-        mngr = CheckpointManager(args.model_ckpt)
-        restored, step = mngr.restore(state)
+        from vanerf_tpu.training.checkpoints import restore_any
+        restored, step = restore_any(args.model_ckpt, state)
         if restored is not None:
             state = restored
             print("Loaded checkpoint at step", step)

@@ -147,6 +147,37 @@ def test_pallas_culled_matches_brute(mesh_and_points):
                                rtol=1e-3, atol=1e-4)
 
 
+def test_culled_early_exit_matches_full_loop(mesh_and_points, monkeypatch):
+    """VANERF_CULL_EARLY (lb-sorted chunk list + in-kernel early exit once
+    the running tile bound certifies the tail) is exact: d2/winding/qvis
+    identical to the full-loop cull; argmin ties only can differ (none on
+    this fixture)."""
+    from vanerf_tpu.ops.mesh_query_pallas import point_mesh_query_vis_culled
+    tri, pts = mesh_and_points
+    F = tri.shape[0]
+    rng = np.random.default_rng(3)
+    face_vis = jnp.asarray(rng.random((F, 3)).astype(np.float32))
+    corners = np.asarray(tri).reshape(-1, 3)
+    d2v = ((np.asarray(pts)[:, None] - corners[None]) ** 2).sum(-1).min(-1)
+    ub = jnp.asarray(d2v.astype(np.float32))
+
+    # env is read at trace time inside the jitted wrapper: clear the jit
+    # cache around each toggle
+    monkeypatch.setenv("VANERF_CULL_EARLY", "0")
+    point_mesh_query_vis_culled.clear_cache()
+    d2a, ia, wa, qa = point_mesh_query_vis_culled(pts, tri, face_vis, ub,
+                                                  interpret=True)
+    monkeypatch.setenv("VANERF_CULL_EARLY", "1")
+    point_mesh_query_vis_culled.clear_cache()
+    d2b, ib, wb, qb = point_mesh_query_vis_culled(pts, tri, face_vis, ub,
+                                                  interpret=True)
+    point_mesh_query_vis_culled.clear_cache()
+    np.testing.assert_array_equal(np.asarray(d2a), np.asarray(d2b))
+    np.testing.assert_array_equal(np.asarray(wa), np.asarray(wb))
+    np.testing.assert_array_equal(np.asarray(ia), np.asarray(ib))
+    np.testing.assert_allclose(np.asarray(qa), np.asarray(qb), atol=1e-6)
+
+
 def test_blocked_relayout_roundtrip():
     from vanerf_tpu.ops.mesh_query import to_blocked, from_blocked
     rng = np.random.default_rng(2)

@@ -303,11 +303,19 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", required=True)
     ap.add_argument("--out", required=True)
+    ap.add_argument("--config", default=None,
+                    help="config JSON to read geo_args from (hourglass "
+                         "depth; default matches configs/vanerf.json)")
     args = ap.parse_args()
     import torch
     ckpt = torch.load(args.ckpt, map_location="cpu", weights_only=False)
     sd = {k: v.numpy() for k, v in ckpt["state_dict"].items()}
-    g, d = convert_state_dict(sd)
+    geo_cfg = None
+    if args.config:
+        from vanerf_tpu import config as vconfig
+        geo_cfg = vconfig.load_cfg(args.config)["models"]["VANeRF"][
+            "geo_args"]
+    g, d = convert_state_dict(sd, geo_cfg=geo_cfg)
     import pickle
     with open(args.out, "wb") as f:
         pickle.dump({"params_g": g, "params_d": d,

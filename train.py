@@ -85,10 +85,11 @@ def main(argv=None):
         model, disc, rng, sample_batch, cfg,
         steps_per_epoch=len(ds_train), n_views=n_views)
 
-    # auto-resume (train.py:38-44 semantics)
+    # auto-resume (train.py:38-44 semantics); --model_ckpt accepts an
+    # orbax dir OR a tools/convert_reference_ckpt.py output file
+    from vanerf_tpu.training.checkpoints import restore_any
     ckpt_dir = os.path.join(save_dir, "ckpts")
-    mngr = CheckpointManager(args.model_ckpt or ckpt_dir)
-    restored, step = mngr.restore(state)
+    restored, step = restore_any(args.model_ckpt or ckpt_dir, state)
     if restored is not None:
         state = restored
         print(f"Resumed from step {step}")

@@ -753,8 +753,9 @@ def _distance_chunk_vis_fast(px, py, pz, pp, ax, ay, az, bx, by, bz,
             qv_sel)
 
 
-def _kernel_vis_ray_culled(mask_ref, pts_ref, tri_ref, vis_ref, wtri_ref,
-                           d2_ref, idx_ref, wind_ref, qvis_ref, *, n_chunks):
+def _kernel_vis_ray_culled(mask_ref, lb_ref, pts_ref, tri_ref, vis_ref,
+                           wtri_ref, d2_ref, idx_ref, wind_ref, qvis_ref, *,
+                           n_chunks, early_exit):
     p = pts_ref[:]
     px = p[:, 0:1]
     py = p[:, 1:2]
@@ -766,18 +767,25 @@ def _kernel_vis_ray_culled(mask_ref, pts_ref, tri_ref, vis_ref, wtri_ref,
     qvis_ref[:] = jnp.zeros((TILE_P, 1), jnp.float32)
     wind_ref[:] = jnp.zeros((TILE_P, 1), jnp.float32)
 
-    # Compacted visited-chunk lists (see _cull_lists): iterate exactly the
-    # chunks this tile needs via dynamic slices.  A per-chunk scalar
+    # Compacted visited-chunk lists (see the host wrapper): iterate exactly
+    # the chunks this tile needs via dynamic slices.  A per-chunk scalar
     # branch (`pl.when` over a bit mask) costs ~0.4 us per (tile, chunk)
     # slot even when skipped — at 2k tiles x 20+ chunks that dwarfs the
     # skipped work, and it gets *worse* with finer chunks; dynamic
     # trip-count loops over the compacted lists pay only for visits.
-    # Ascending list order preserves the running-argmin tie-breaking, so
-    # results are bit-identical to the dense-mask loop.
+    # With early_exit the list is ordered by ASCENDING AABB lower bound
+    # (lb_ref) and the loop stops once the next chunk's lower bound
+    # exceeds the tile's running max best distance — exact: lb > d2_best_p
+    # for every point p in the tile.  The host-side cull uses the LOOSE
+    # nearest-vertex bound; after the nearest chunks are processed the
+    # running bound collapses to the true distance, pruning the long tail
+    # that hard patches otherwise visit.  Chunk visit ORDER changes, so
+    # argmin face ids may differ on exact distance ties (documented
+    # argmin-tie freedom); min/d2 itself is order-independent.
     n_d = mask_ref[0, 126]
     n_w = mask_ref[0, 125]
 
-    def _dist(j, carry):
+    def _dist_chunk(j):
         c = mask_ref[0, j]
         sl = pl.ds(c * CULL_CHUNK, CULL_CHUNK)
         ax = tri_ref[0:1, sl]
@@ -800,9 +808,24 @@ def _kernel_vis_ray_culled(mask_ref, pts_ref, tri_ref, vis_ref, wtri_ref,
         qvis_ref[:] = jnp.where(better, qv_sel, qvis_ref[:])
         d2_ref[:] = d2_new
         idx_ref[:] = idx_new
-        return carry
 
-    jax.lax.fori_loop(0, n_d, _dist, 0, unroll=False)
+    if early_exit:
+        def _cond(state):
+            j, ub_run = state
+            return (j < n_d) & (lb_ref[0, j] <= ub_run)
+
+        def _body(state):
+            j, _ = state
+            _dist_chunk(j)
+            return j + 1, jnp.max(d2_ref[:])
+
+        jax.lax.while_loop(_cond, _body, (0, jnp.float32(jnp.inf)))
+    else:
+        def _dist(j, carry):
+            _dist_chunk(j)
+            return carry
+
+        jax.lax.fori_loop(0, n_d, _dist, 0, unroll=False)
 
     def _wind(j, carry):
         c = mask_ref[0, 64 + j]
@@ -857,7 +880,8 @@ def _cull_masks(pts_pad: jnp.ndarray, ub_pad: jnp.ndarray,
       ub_pad:  (Np,) certified squared-distance upper bounds (pad with 0).
       tri_pad_T: (9, Fp) padded corner layout (padding corners at -1e9).
     Returns:
-      (T, C) int32 bit mask.
+      (T, C) int32 bit mask, (T,) ray-flip flags, (T, C) f32 distance
+      lower bounds (the AABB-AABB gap; drives the in-kernel early exit).
     """
     T = pts_pad.shape[0] // TILE_P
     ptile = pts_pad.reshape(T, TILE_P, 3)
@@ -917,7 +941,58 @@ def _cull_masks_from_boxes(tmin, tmax, ub_t, tri_pad_T):
     need_w = jnp.where(use_neg[:, None], w_neg, w_pos)
 
     mask = need_d.astype(jnp.int32) | (need_w.astype(jnp.int32) << 1)
-    return mask, use_neg.astype(jnp.int32)
+    return mask, use_neg.astype(jnp.int32), lb
+
+
+def _cull_lists(mask, use_neg, lb, n_chunks, far_t):
+    """Compacted per-tile chunk lists in a (1, 128)-shaped SMEM block per
+    tile: slots [0, n_d) = visited distance-chunk ids, slots
+    [64, 64+n_w) = visited winding-chunk ids, slot 126 = n_d, 125 = n_w,
+    127 = the tile's ray-direction flag.  The kernels loop with dynamic
+    trip counts over exactly these lists.
+
+    With the early-exit loop (``VANERF_CULL_EARLY``, default on) the
+    distance list is ordered by ASCENDING AABB lower bound and those
+    bounds ship in a parallel (1, 64)-blocked f32 SMEM list, so the
+    kernel can stop once the next chunk's bound exceeds the tile's
+    running max best distance (exact; only argmin tie-breaking can
+    differ from index order).  Without it the ascending-index order
+    preserves the dense-mask loop's tie-breaking bit-for-bit.
+
+    Returns (maskf (1, T*128) int32, lbf (1, T*64) f32, early bool).
+    """
+    early = os.environ.get("VANERF_CULL_EARLY", "1") not in ("", "0")
+    assert n_chunks <= 61, "face count beyond the 128-slot list layout"
+    T = mask.shape[0]
+    iota = jnp.arange(n_chunks, dtype=jnp.int32)[None]
+    need_d = (mask & 1).astype(bool)
+    need_w = (mask & 2).astype(bool)
+    if far_t is not None:
+        need_d &= ~far_t[:, None]
+    # sort pushes the non-visited sentinel past the count
+    if early:
+        lb_key = jnp.where(need_d, lb, jnp.inf)
+        order = jnp.argsort(lb_key, axis=1)
+        dlist = jnp.where(
+            jnp.take_along_axis(need_d, order, 1),
+            jnp.take_along_axis(
+                jnp.broadcast_to(iota, need_d.shape), order, 1),
+            n_chunks).astype(jnp.int32)
+        dlb = jnp.sort(lb_key, axis=1)                        # (T, C)
+        lbf = jnp.full((T, 64), jnp.inf, jnp.float32)
+        lbf = lbf.at[:, :n_chunks].set(dlb)
+        lbf = lbf.reshape(1, -1)                              # (1, T*64)
+    else:
+        dlist = jnp.sort(jnp.where(need_d, iota, n_chunks), axis=1)
+        lbf = jnp.zeros((T, 64), jnp.float32).reshape(1, -1)
+    wlist = jnp.sort(jnp.where(need_w, iota, n_chunks), axis=1)
+    maskf = jnp.zeros((T, 128), jnp.int32)
+    maskf = maskf.at[:, :n_chunks].set(dlist)
+    maskf = maskf.at[:, 64:64 + n_chunks].set(wlist)
+    maskf = maskf.at[:, 126].set(need_d.sum(1).astype(jnp.int32))
+    maskf = maskf.at[:, 125].set(need_w.sum(1).astype(jnp.int32))
+    maskf = maskf.at[:, 127].set(use_neg)
+    return maskf.reshape(1, -1), lbf, early
 
 
 def prepare_mesh_ray(triangles: jnp.ndarray, face_vis: jnp.ndarray):
@@ -981,29 +1056,8 @@ def point_mesh_query_vis_culled(points: jnp.ndarray, triangles: jnp.ndarray,
     n_chunks = tri.shape[1] // CULL_CHUNK
     grid = (pts.shape[0] // TILE_P,)
 
-    mask, use_neg = _cull_masks(pts, ub, tri)                 # (T, C), (T,)
-    # Compacted per-tile chunk lists in a (1, 128)-shaped SMEM block per
-    # tile: slots [0, n_d) = visited distance-chunk ids (ascending),
-    # slots [64, 64+n_w) = visited winding-chunk ids, slot 126 = n_d,
-    # 125 = n_w, 127 = the tile's ray-direction flag.  The kernel loops
-    # with dynamic trip counts over exactly these lists.
-    assert n_chunks <= 61, "face count beyond the 128-slot list layout"
-    T = mask.shape[0]
-    iota = jnp.arange(n_chunks, dtype=jnp.int32)[None]
-    need_d = (mask & 1).astype(bool)
-    need_w = (mask & 2).astype(bool)
-    if far_t is not None:
-        need_d &= ~far_t[:, None]
-    # sort pushes the non-visited sentinel (n_chunks) past the count
-    dlist = jnp.sort(jnp.where(need_d, iota, n_chunks), axis=1)
-    wlist = jnp.sort(jnp.where(need_w, iota, n_chunks), axis=1)
-    maskf = jnp.zeros((T, 128), jnp.int32)
-    maskf = maskf.at[:, :n_chunks].set(dlist)
-    maskf = maskf.at[:, 64:64 + n_chunks].set(wlist)
-    maskf = maskf.at[:, 126].set(need_d.sum(1).astype(jnp.int32))
-    maskf = maskf.at[:, 125].set(need_w.sum(1).astype(jnp.int32))
-    maskf = maskf.at[:, 127].set(use_neg)
-    maskf = maskf.reshape(1, -1)                              # (1, T*128)
+    mask, use_neg, lb = _cull_masks(pts, ub, tri)             # (T,C) x2,(T,)
+    maskf, lbf, early = _cull_lists(mask, use_neg, lb, n_chunks, far_t)
 
     out_specs = [pl.BlockSpec((TILE_P, 1), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)] * 4
@@ -1018,17 +1072,20 @@ def point_mesh_query_vis_culled(points: jnp.ndarray, triangles: jnp.ndarray,
         return pl.BlockSpec((rows, tri.shape[1]), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
 
-    kernel = functools.partial(_kernel_vis_ray_culled, n_chunks=n_chunks)
+    kernel = functools.partial(_kernel_vis_ray_culled, n_chunks=n_chunks,
+                               early_exit=early)
     d2, idx, wind, qvis = pl.pallas_call(
         kernel, grid=grid,
         in_specs=[
             pl.BlockSpec((1, 128), lambda i: (0, i),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 64), lambda i: (0, i),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((TILE_P, 3), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             fspec(9), fspec(3), fspec(10)],
         out_specs=out_specs, out_shape=out_shape, interpret=interpret,
-    )(maskf, pts, tri, vis, wtri)
+    )(maskf, lbf, pts, tri, vis, wtri)
     d2o = d2[:N, 0]
     if far_t is not None:
         # far tiles visited no distance chunks (d2 = inf): substitute the
@@ -1050,9 +1107,9 @@ def point_mesh_query_vis_culled(points: jnp.ndarray, triangles: jnp.ndarray,
 # are bit-identical to ``point_mesh_query_vis_culled``.
 
 
-def _kernel_vis_ray_culled_T(mask_ref, pts_ref, tri_ref, vis_ref, wtri_ref,
-                             d2_ref, idx_ref, wind_ref, qvis_ref, *,
-                             n_chunks):
+def _kernel_vis_ray_culled_T(mask_ref, lb_ref, pts_ref, tri_ref, vis_ref,
+                             wtri_ref, d2_ref, idx_ref, wind_ref, qvis_ref,
+                             *, n_chunks, early_exit):
     p = jnp.transpose(pts_ref[:], (1, 0))     # (3, TILE_P) -> (TILE_P, 3)
     px = p[:, 0:1]
     py = p[:, 1:2]
@@ -1069,8 +1126,7 @@ def _kernel_vis_ray_culled_T(mask_ref, pts_ref, tri_ref, vis_ref, wtri_ref,
     n_d = mask_ref[0, 126]
     n_w = mask_ref[0, 125]
 
-    def _dist(j, carry):
-        d2_old, idx_old, qv_old = carry
+    def _dist_chunk(j, d2_old, idx_old, qv_old):
         c = mask_ref[0, j]
         sl = pl.ds(c * CULL_CHUNK, CULL_CHUNK)
         ax = tri_ref[0:1, sl]
@@ -1091,8 +1147,24 @@ def _kernel_vis_ray_culled_T(mask_ref, pts_ref, tri_ref, vis_ref, wtri_ref,
         better = d2_new < d2_old
         return (d2_new, idx_new, jnp.where(better, qv_sel, qv_old))
 
-    d2_f, idx_f, qvis_f = jax.lax.fori_loop(
-        0, n_d, _dist, (d2_0, idx_0, qvis_0), unroll=False)
+    if early_exit:
+        def _cond(state):
+            j, ub_run, _c = state
+            return (j < n_d) & (lb_ref[0, j] <= ub_run)
+
+        def _body(state):
+            j, _, carry = state
+            new = _dist_chunk(j, *carry)
+            return j + 1, jnp.max(new[0]), new
+
+        _, _, (d2_f, idx_f, qvis_f) = jax.lax.while_loop(
+            _cond, _body, (0, jnp.float32(jnp.inf), (d2_0, idx_0, qvis_0)))
+    else:
+        def _dist(j, carry):
+            return _dist_chunk(j, *carry)
+
+        d2_f, idx_f, qvis_f = jax.lax.fori_loop(
+            0, n_d, _dist, (d2_0, idx_0, qvis_0), unroll=False)
 
     def _wind(j, wind_c):
         c = mask_ref[0, 64 + j]
@@ -1171,22 +1243,8 @@ def point_mesh_query_vis_culled_T(points_T: jnp.ndarray,
     tmin = jnp.transpose(ptile.min(2), (1, 0))                # (T, 3)
     tmax = jnp.transpose(ptile.max(2), (1, 0))
     ub_t = ub.reshape(T, TILE_P).max(1)
-    mask, use_neg = _cull_masks_from_boxes(tmin, tmax, ub_t, tri)
-    assert n_chunks <= 61, "face count beyond the 128-slot list layout"
-    iota = jnp.arange(n_chunks, dtype=jnp.int32)[None]
-    need_d = (mask & 1).astype(bool)
-    need_w = (mask & 2).astype(bool)
-    if far_t is not None:
-        need_d &= ~far_t[:, None]
-    dlist = jnp.sort(jnp.where(need_d, iota, n_chunks), axis=1)
-    wlist = jnp.sort(jnp.where(need_w, iota, n_chunks), axis=1)
-    maskf = jnp.zeros((T, 128), jnp.int32)
-    maskf = maskf.at[:, :n_chunks].set(dlist)
-    maskf = maskf.at[:, 64:64 + n_chunks].set(wlist)
-    maskf = maskf.at[:, 126].set(need_d.sum(1).astype(jnp.int32))
-    maskf = maskf.at[:, 125].set(need_w.sum(1).astype(jnp.int32))
-    maskf = maskf.at[:, 127].set(use_neg)
-    maskf = maskf.reshape(1, -1)                              # (1, T*128)
+    mask, use_neg, lb = _cull_masks_from_boxes(tmin, tmax, ub_t, tri)
+    maskf, lbf, early = _cull_lists(mask, use_neg, lb, n_chunks, far_t)
 
     out_specs = [pl.BlockSpec((1, TILE_P), lambda i: (0, i),
                               memory_space=pltpu.VMEM)] * 4
@@ -1201,17 +1259,20 @@ def point_mesh_query_vis_culled_T(points_T: jnp.ndarray,
         return pl.BlockSpec((rows, tri.shape[1]), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
 
-    kernel = functools.partial(_kernel_vis_ray_culled_T, n_chunks=n_chunks)
+    kernel = functools.partial(_kernel_vis_ray_culled_T, n_chunks=n_chunks,
+                               early_exit=early)
     d2, idx, wind, qvis = pl.pallas_call(
         kernel, grid=grid,
         in_specs=[
             pl.BlockSpec((1, 128), lambda i: (0, i),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 64), lambda i: (0, i),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((3, TILE_P), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             fspec(9), fspec(3), fspec(10)],
         out_specs=out_specs, out_shape=out_shape, interpret=interpret,
-    )(maskf, pts, tri, vis, wtri)
+    )(maskf, lbf, pts, tri, vis, wtri)
     d2o = d2[0, :N]
     if far_t is not None:
         d2o = jnp.where(jnp.repeat(far_t, TILE_P), ub[:N], d2o)

@@ -46,7 +46,55 @@ def auto_resume(ckpt_dir: str, state_template: Any,
     """Resume from `last` checkpoint unless an explicit path is given
     (reference ``train.py:38-44``)."""
     if model_ckpt is not None:
-        mngr = CheckpointManager(model_ckpt)
-        return mngr.restore(state_template)
+        return restore_any(model_ckpt, state_template)
     mngr = CheckpointManager(ckpt_dir)
     return mngr.restore(state_template)
+
+
+def load_converted_ckpt(path: str, state_template: Any):
+    """Load a ``tools/convert_reference_ckpt.py`` output file into a
+    TrainState.
+
+    The converter writes a pickle {params_g, params_d, epoch, global_step}
+    (torch state_dict -> flax trees); optimizer states come from the
+    template (the reference ckpt's Adam moments are not convertible to
+    optax trees and eval never touches them).
+    """
+    import pickle
+
+    import jax
+    import numpy as np
+
+    with open(path, "rb") as f:
+        blob = pickle.load(f)
+    params_g, params_d = blob["params_g"], blob["params_d"]
+
+    def check(name, conv, tmpl):
+        c = dict(jax.tree_util.tree_flatten_with_path(conv)[0])
+        t = dict(jax.tree_util.tree_flatten_with_path(tmpl)[0])
+        missing = [k for k in t if k not in c]
+        bad = [k for k in t if k in c
+               and tuple(np.shape(c[k])) != tuple(np.shape(t[k]))]
+        if missing or bad:
+            raise ValueError(
+                f"converted {name} does not match the model: "
+                f"missing={missing[:5]} shape-mismatch={bad[:5]}")
+
+    check("params_g", params_g, state_template.params_g)
+    check("params_d", params_d, state_template.params_d)
+    cast = lambda conv, tmpl: jax.tree.map(      # noqa: E731
+        lambda c, t: jax.numpy.asarray(c, dtype=t.dtype), conv, tmpl)
+    step = int(blob.get("global_step") or 0)
+    state = state_template._replace(
+        params_g=cast(params_g, state_template.params_g),
+        params_d=cast(params_d, state_template.params_d),
+        step=jax.numpy.asarray(step, dtype=state_template.step.dtype))
+    return state, step
+
+
+def restore_any(path: str, state_template: Any):
+    """Restore from either an orbax checkpoint dir or a converted-ckpt
+    pickle file (``--model_ckpt`` accepts both)."""
+    if os.path.isfile(path):
+        return load_converted_ckpt(path, state_template)
+    return CheckpointManager(path).restore(state_template)

@@ -4,13 +4,19 @@ Parity target: ``VANeRFLightningModule.training_step``
 (reference ``src/model.py:381-459``) with the dual-Adam / MultiStepLR
 [2,5,10,20,35] x 0.5 optimizer config (``model.py:61-68``).
 
-TPU-first redesign: the reference renders the full generator forward TWICE
-per step (once for the G optimizer, once again for the D optimizer,
-``model.py:417``).  Here the patch is rendered ONCE; the G update
+GAN scheme (config ``training.reference_faithful_gan``, default True):
+the reference renders the full generator forward TWICE per step — once for
+the G optimizer, and AGAIN for the D optimizer with a fresh random patch
+(new stride + mask-centered grid draw) through the just-updated generator
+(``model.py:417`` + random stride at ``:987-990``; PL steps each optimizer
+after its closure).  The faithful mode reproduces exactly that.  Setting
+the flag False (or env ``VANERF_FAITHFUL_GAN=0``) switches to the cheaper
+single-render scheme: the patch is rendered once, the G update
 differentiates through it, and the D update consumes the stop-gradient'd
-render — a 2x cut of the dominant cost with the standard simultaneous-GAN
-semantics.  R1 is a nested `jax.grad` through the discriminator inside the
-same jit.
+render — a ~1.5x cut of step cost with standard simultaneous-GAN
+semantics, but D then trains on the pre-update G's patch distribution
+(deviation; see docs/perf.md for the measured A/B).  R1 is a nested
+`jax.grad` through the discriminator inside the same jit either way.
 """
 
 from __future__ import annotations
@@ -111,10 +117,15 @@ def _generator_outputs(model, params_g, batch, rng, cfg, n_views):
 def make_train_step(model, disc, tx_g, tx_d, cfg: dict, vggloss,
                     n_views: int = 1):
     """Build the jitted train step closure."""
+    import os
     lambdas = cfg["models"]["VANeRF"].get("lambdas", {})
     dis_lambdas = cfg["models"]["Discriminator"]["lambdas"]
     l_dis1 = dis_lambdas.get("lambda_dis1", 0.1)
     l_dis2 = dis_lambdas.get("lambda_dis2", 0.1)
+    env_fg = os.environ.get("VANERF_FAITHFUL_GAN", "")
+    faithful = (env_fg not in ("", "0") if env_fg != ""
+                else bool(cfg["training"].get("reference_faithful_gan",
+                                              True)))
 
     def g_loss_fn(params_g, params_d, batch, rng):
         out = _generator_outputs(model, params_g, batch, rng, cfg, n_views)
@@ -177,16 +188,25 @@ def make_train_step(model, disc, tx_g, tx_d, cfg: dict, vggloss,
         `shard_map` (data parallelism), gradients and logs are psum/pmean'd
         over that mesh axis before the (replicated) optimizer update —
         the explicit analog of DDP's allreduce (SURVEY §2.2)."""
+        rng_g, rng_d = jax.random.split(rng)
         (g_loss, (out, err)), grads_g = jax.value_and_grad(
             g_loss_fn, has_aux=True)(state.params_g, state.params_d,
-                                     batch, rng)
+                                     batch, rng_g)
         if axis_name is not None:
             grads_g = jax.lax.pmean(grads_g, axis_name)
         updates_g, opt_g = tx_g.update(grads_g, state.opt_g, state.params_g)
         params_g = optax.apply_updates(state.params_g, updates_g)
 
+        if faithful:
+            # reference semantics (model.py:417): the D optimizer sees a
+            # FRESH random patch rendered through the just-updated G; no
+            # gradient flows into G from the D step (rendered.detach()).
+            out_d = jax.lax.stop_gradient(_generator_outputs(
+                model, params_g, batch, rng_d, cfg, n_views))
+        else:
+            out_d = out
         (d_loss, d_logs), grads_d = jax.value_and_grad(
-            d_loss_fn, has_aux=True)(state.params_d, out, rng)
+            d_loss_fn, has_aux=True)(state.params_d, out_d, rng_d)
         if axis_name is not None:
             grads_d = jax.lax.pmean(grads_d, axis_name)
         updates_d, opt_d = tx_d.update(grads_d, state.opt_d, state.params_d)
