@@ -40,7 +40,8 @@ def test_asset_pipeline_end_to_end(tmp_path, monkeypatch):
         m["geo_args"]["n_downsample"] = 2
         m["dr_kwargs"]["sample_per_ray_c"] = 8
         m["dr_kwargs"]["sample_per_ray_f"] = 8
-        cfg["dataset"]["synthetic_cfg"] = {"H": 32, "W": 32, "subdiv": 2,
+        # 64^2: LPIPS needs >=32px mask crops (evaluator guard)
+        cfg["dataset"]["synthetic_cfg"] = {"H": 64, "W": 64, "subdiv": 2,
                                            "n_frames": 2}
         cfg["out_dir"] = str(tmp_path / "out")
         cfg_path = str(tmp_path / "tiny.json")
@@ -48,9 +49,9 @@ def test_asset_pipeline_end_to_end(tmp_path, monkeypatch):
             json.dump(cfg, f)
 
         # 1. generate the synthetic stand-ins (num_v=162: subdiv-2 hands;
-        #    hw3=8: feat_tex at 32/2/2; hw4=32: full image)
+        #    hw3=16: feat_tex at 64/2/2; hw4=64: full image)
         mk.main(["--out", assets, "--config", cfg_path,
-                 "--num_v", "162", "--hw3", "8", "--hw4", "32"])
+                 "--num_v", "162", "--hw3", "16", "--hw4", "64"])
         for name in ("vgg19_features.pth", "lpips_alex.pth", "model.ckpt"):
             assert osp.exists(osp.join(assets, name)), name
 

@@ -76,9 +76,9 @@ def test_evaluator_lpips_uint8_crop_semantics(rng):
     ev = Evaluator(None)
     seen = []
     ev.lpips_fn = lambda p, g: (seen.append((p, g)), 0.5)[1]
-    pred = rng.random((16, 16, 3)).astype(np.float32)
-    gt = rng.random((16, 16, 3)).astype(np.float32)
-    s = ev.compute_score(pred, gt, mask_at_box=np.ones((16, 16)))
+    pred = rng.random((64, 64, 3)).astype(np.float32)
+    gt = rng.random((64, 64, 3)).astype(np.float32)
+    s = ev.compute_score(pred, gt, mask_at_box=np.ones((64, 64)))
     assert s["lpips"] == 0.5
     (p, g), = seen
     for img, src in [(p, pred), (g, gt)]:
@@ -89,6 +89,11 @@ def test_evaluator_lpips_uint8_crop_semantics(rng):
         # and genuinely quantized (255*img is integral)
         np.testing.assert_allclose(np.round(img * 255), img * 255,
                                    atol=1e-6)
+    # sub-32px crops skip LPIPS (AlexNet pool chain needs >=32; the
+    # reference's torch lpips errors there)
+    s2 = ev.compute_score(pred, gt, mask_at_box=np.pad(
+        np.ones((16, 16)), ((0, 48), (0, 48))))
+    assert np.isnan(s2["lpips"])
 
 
 def test_camera_path_orbits():

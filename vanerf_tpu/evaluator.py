@@ -79,7 +79,8 @@ class Evaluator:
             "psnr": compute_psnr(rgb_pred, rgb_gt),
             "ssim": compute_ssim_crop(rgb_pred, rgb_gt, mask_at_box),
         }
-        if self.lpips_fn is not None:
+        if self.lpips_fn is not None and (
+                min(bounding_rect(mask_at_box)[2:]) >= 32):
             x, y, w, h = bounding_rect(mask_at_box)
             # PNG round-trip semantics: the reference computes LPIPS on
             # crops saved to PNG and reloaded (src/evaluator.py:47-64), so
@@ -89,6 +90,9 @@ class Evaluator:
             g8 = _png_roundtrip(rgb_gt[y:y + h, x:x + w])
             out["lpips"] = float(self.lpips_fn(p8, g8))
         else:
+            # no weights, or crop < 32px: AlexNet's stride-4 conv + two
+            # 3x3/2 pools leave a 0-size map below ~32px (the reference's
+            # torch lpips errors there; its 256^2 mask crops never are)
             out["lpips"] = float("nan")
         return out
 

@@ -951,17 +951,23 @@ def _cull_lists(mask, use_neg, lb, n_chunks, far_t):
     127 = the tile's ray-direction flag.  The kernels loop with dynamic
     trip counts over exactly these lists.
 
-    With the early-exit loop (``VANERF_CULL_EARLY``, default on) the
-    distance list is ordered by ASCENDING AABB lower bound and those
-    bounds ship in a parallel (1, 64)-blocked f32 SMEM list, so the
-    kernel can stop once the next chunk's bound exceeds the tile's
-    running max best distance (exact; only argmin tie-breaking can
-    differ from index order).  Without it the ascending-index order
+    With the early-exit loop (``VANERF_CULL_EARLY``, measured LOSER —
+    opt-in) the distance list is ordered by ASCENDING AABB lower bound
+    and those bounds ship in a parallel (1, 128)-blocked f32 SMEM list,
+    so the kernel can stop once the next chunk's bound exceeds the
+    tile's running max best distance (exact; only argmin tie-breaking
+    can differ from index order).  Measured on v5e-1 (2026-08-20):
+    12.46M vs 12.80M ray-samples/s bench — the nearest-vertex host cull
+    is already near-optimal for exact queries (the true best distance
+    exceeds the nearest-vertex bound by at most the face covering
+    radius, so the refined bound prunes almost nothing), and the
+    while-loop's per-iteration scalar cond + tile max-reduce serialize
+    the chunk pipeline.  Default off; the ascending-index fori_loop
     preserves the dense-mask loop's tie-breaking bit-for-bit.
 
     Returns (maskf (1, T*128) int32, lbf (1, T*64) f32, early bool).
     """
-    early = os.environ.get("VANERF_CULL_EARLY", "1") not in ("", "0")
+    early = os.environ.get("VANERF_CULL_EARLY", "0") not in ("", "0")
     assert n_chunks <= 61, "face count beyond the 128-slot list layout"
     T = mask.shape[0]
     iota = jnp.arange(n_chunks, dtype=jnp.int32)[None]
@@ -979,12 +985,14 @@ def _cull_lists(mask, use_neg, lb, n_chunks, far_t):
                 jnp.broadcast_to(iota, need_d.shape), order, 1),
             n_chunks).astype(jnp.int32)
         dlb = jnp.sort(lb_key, axis=1)                        # (T, C)
-        lbf = jnp.full((T, 64), jnp.inf, jnp.float32)
+        # 128-wide per-tile block: Mosaic SMEM blocks need a 128-divisible
+        # (or full-array) minor dim; slots [n_chunks, 128) stay +inf
+        lbf = jnp.full((T, 128), jnp.inf, jnp.float32)
         lbf = lbf.at[:, :n_chunks].set(dlb)
-        lbf = lbf.reshape(1, -1)                              # (1, T*64)
+        lbf = lbf.reshape(1, -1)                              # (1, T*128)
     else:
         dlist = jnp.sort(jnp.where(need_d, iota, n_chunks), axis=1)
-        lbf = jnp.zeros((T, 64), jnp.float32).reshape(1, -1)
+        lbf = jnp.zeros((T, 128), jnp.float32).reshape(1, -1)
     wlist = jnp.sort(jnp.where(need_w, iota, n_chunks), axis=1)
     maskf = jnp.zeros((T, 128), jnp.int32)
     maskf = maskf.at[:, :n_chunks].set(dlist)
@@ -1079,7 +1087,7 @@ def point_mesh_query_vis_culled(points: jnp.ndarray, triangles: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((1, 128), lambda i: (0, i),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 64), lambda i: (0, i),
+            pl.BlockSpec((1, 128), lambda i: (0, i),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((TILE_P, 3), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -1266,7 +1274,7 @@ def point_mesh_query_vis_culled_T(points_T: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((1, 128), lambda i: (0, i),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 64), lambda i: (0, i),
+            pl.BlockSpec((1, 128), lambda i: (0, i),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((3, TILE_P), lambda i: (0, i),
                          memory_space=pltpu.VMEM),

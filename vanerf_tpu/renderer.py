@@ -630,11 +630,19 @@ def render_full_image(model, params, batch, *, level: int,
     # strides are traced) — eager per-tile dispatch is pathological on
     # remote-TPU transports and wastes s^2 compiles otherwise.  The jitted
     # closure is cached across frames keyed on the static configuration.
+    import os
     key = (id(model), level, H, W, B, G, sample_per_ray_c, sample_per_ray_f,
            n_views, sdf_chunk, compute_vis_map,
            batch.get("tar_img") is not None,
            batch.get("tar_mask") is not None,
-           None if mesh is None else id(mesh))
+           None if mesh is None else id(mesh),
+           # env-selected render variants are read at TRACE time inside
+           # render_patch — they must key the cached program too (the
+           # quality-gate sweep toggles them between frames)
+           tuple(os.environ.get(k, "") for k in
+                 ("VANERF_FAR_TAU", "VANERF_FAR_SKIP", "VANERF_SOA_POINTS",
+                  "VANERF_FUSED_MLP", "VANERF_MXU_INTERP", "VANERF_TWO_RES",
+                  "VANERF_CULL_EARLY", "VANERF_WINDING")))
     tile_fn = _TILE_FN_CACHE.get(key)
     if tile_fn is None:
         def _tile(params, gbatch, strides, rng, cached):
