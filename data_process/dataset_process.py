@@ -90,8 +90,13 @@ def render_mask_densepose(verts, faces, K, R, t, H, W):
     mask = (face >= 0).astype(np.uint8) * 255
     # the reference's shipped dense-coordinate colors (v_color.pkl with
     # the 779-seal expansion), NOT procedural colors: densepose images
-    # are model inputs, so the table must match bit-for-bit.
-    colors = densepose_colors(len(verts))
+    # are model inputs, so the table must match bit-for-bit.  Non-MANO
+    # vertex counts (synthetic test meshes) keep procedural colors.
+    if len(verts) in (779, 1558):
+        colors = densepose_colors(len(verts))
+    else:
+        from vanerf_tpu.data.synthetic import _vertex_colors
+        colors = _vertex_colors(verts)
     tric = colors[faces]
     safe = np.maximum(face, 0)
     dp = (tric[safe] * bary[..., None]).sum(1)

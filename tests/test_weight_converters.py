@@ -40,7 +40,10 @@ def test_vgg_converter_roundtrips_into_vggloss(tmp_path, monkeypatch):
     assert len(out) == 2 * len(_TORCH_IDX_TO_NAME)
     # HWIO layout
     assert out["conv1_1.kernel"].shape == (3, 3, 3, 64)
-    assert out["conv4_2.kernel"].shape == (3, 3, 512, 512)
+    # slice4 = features[12:21] ends at relu4_1; conv4_2 must NOT be
+    # consumed (parity bug fixed in round 3)
+    assert out["conv4_1.kernel"].shape == (3, 3, 256, 512)
+    assert "conv4_2.kernel" not in out
     path = tmp_path / "vgg.npz"
     np.savez(path, **out)
 

@@ -811,6 +811,250 @@ def ray_bbox_intersection_t(bounds, orig, direct, boffset=(-0.01, 0.01)):
             mask_at_box[None, :, None])
 
 
+def vgg19_features_t(vgg: "Vgg19T", x):
+    """4-slice VGG19 features (utils.py:917-937): x (B, 3, H, W) already
+    ImageNet-normalized; returns [relu1_1, relu2_1, relu3_1, relu4_2]."""
+    outs = []
+    h = x
+    for s in (vgg.slice1, vgg.slice2, vgg.slice3, vgg.slice4):
+        h = s(h)
+        outs.append(h)
+    return outs
+
+
+_IMAGENET_MEAN_T = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
+_IMAGENET_STD_T = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
+_VGG_SLICE_W = (1.0 / 16, 1.0 / 8, 1.0 / 4, 1.0)
+
+
+def vgg_loss_t(vgg: "Vgg19T", x, y):
+    """L1 feature distance, target features detached (losses.py parity)."""
+    xn = (x - _IMAGENET_MEAN_T) / _IMAGENET_STD_T
+    yn = (y - _IMAGENET_MEAN_T) / _IMAGENET_STD_T
+    fx = vgg19_features_t(vgg, xn)
+    fy = vgg19_features_t(vgg, yn)
+    loss = 0.0
+    for w, a, b in zip(_VGG_SLICE_W, fx, fy):
+        loss = loss + w * (a - b.detach()).abs().mean()
+    return loss
+
+
+def load_vgg_from_jax(vgg: "Vgg19T", jax_params) -> None:
+    """Copy the JAX VGGLoss weights (pretrained npz OR the fixed-seed
+    random init) into the replica Vgg19T, so both frameworks train with
+    the IDENTICAL perceptual objective."""
+    import numpy as _np
+    name_to_idx = {"conv1_1": ("slice1", "0"), "conv1_2": ("slice2", "2"),
+                   "conv2_1": ("slice2", "5"), "conv2_2": ("slice3", "7"),
+                   "conv3_1": ("slice3", "10"), "conv3_2": ("slice4", "12"),
+                   "conv3_3": ("slice4", "14"), "conv3_4": ("slice4", "16"),
+                   "conv4_1": ("slice4", "19"), "conv4_2": ("slice4", "21")}
+    p = jax_params["params"]
+    with torch.no_grad():
+        for name, (sl, idx) in name_to_idx.items():
+            if name not in p:        # conv4_2 absent: replica slice stops
+                continue             # at torchvision idx 20 (relu4_2 input)
+            mod = getattr(vgg, sl)._modules.get(idx)
+            if mod is None:
+                continue
+            k = _np.asarray(p[name]["kernel"])      # (kh, kw, in, out)
+            mod.weight.copy_(torch.from_numpy(
+                _np.transpose(k, (3, 2, 0, 1)).copy()))
+            mod.bias.copy_(torch.from_numpy(_np.asarray(p[name]["bias"])))
+
+
+def compute_error_t(out, lambdas, vgg):
+    """Generator reconstruction loss (utils.py:159-291 subset actually
+    active under the shipped config: L1 coarse + L1 fine + VGG)."""
+    err = {}
+    l1c = lambdas.get("lambda_l1_c", 1.0)
+    l1 = lambdas.get("lambda_l1", 10.0)
+    lv = lambdas.get("lambda_vgg", 1.0)
+    err["e_pix_c"] = l1c * (out["tex_fg"] - out["tar_img"]).abs().mean()
+    err["e_pix_l1"] = l1 * (out["tex_fg_fine"] - out["tar_img"]).abs().mean()
+    if vgg is not None and lv > 0:
+        def chw(img):
+            return img.permute(0, 3, 1, 2)
+        err["e_vgg"] = lv * (vgg_loss_t(vgg, chw(out["tex_fg"]),
+                                        chw(out["tar_img"]))
+                             + vgg_loss_t(vgg, chw(out["tex_fg_fine"]),
+                                          chw(out["tar_img"])))
+    loss = sum(err.values())
+    err["e_all"] = loss
+    return loss, err
+
+
+def d_logistic_loss_t(real_pred, fake_pred):
+    """networks.py:584-588 (sigmoid discriminator -> BCE form)."""
+    eps = 1e-6
+    return (-torch.log(real_pred + eps)
+            - torch.log(1.0 - fake_pred + eps)).mean()
+
+
+def g_nonsaturating_loss_t(fake_pred):
+    eps = 1e-6
+    return -torch.log(fake_pred + eps).mean()
+
+
+def render_patch_train_t(rep, batch, mesh_query_fn, out_h, out_w,
+                         sample_per_ray_c, sample_per_ray_f, sp_args, gen,
+                         rand_noise_std=0.01, nml_scale=100.0,
+                         vis_map_fn=None):
+    """Training-mode patch render (reference model.py:1102-1360 train
+    branch): random mask-centered grid, jittered stratified samples,
+    non-uniform importance samples, density noise; gradients flow to the
+    replica's parameters.  `gen`: a seeded torch.Generator.
+
+    Returns the out dict (channels-last torch tensors) including the
+    gathered tar_img/tar_alpha/densepose/img_in/vis_img context the GAN
+    losses consume.
+    """
+    import numpy as _np
+    t = lambda a: torch.from_numpy(_np.asarray(a, _np.float32))
+    nchw_ = lambda a: torch.from_numpy(
+        _np.moveaxis(_np.asarray(a, _np.float32), -1, 1).copy())
+
+    H, W = batch["src_img"].shape[1:3]
+    znear, zfar = float(batch["znear"]), float(batch["zfar"])
+    cam_in = {"KRT": t(batch["src_krt"]), "extrin": t(batch["src_extrin"]),
+              "width": W, "height": H, "znear": znear, "zfar": zfar}
+    feat_geo = [nchw_(f) for f in batch["feat_geo"]]
+    feat_tex = nchw_(batch["feat_tex"])
+    img = nchw_(batch["src_img"])
+    fg_mask = nchw_(batch["src_mask"])
+    verts = t(batch["verts"])
+    vert_vis = t(batch["vert_vis"])
+    kpt3d = t(batch["kpt3d"])
+
+    # mask-centered random grid (model.py:1174-1189)
+    msk = t(batch["tar_mask"])[0, :, :, 0]
+    coords = torch.stack(torch.where(msk > 0)[::-1], -1).float()
+    if coords.shape[0] == 0:
+        center = torch.zeros(2)
+    else:
+        ci = torch.randint(0, coords.shape[0], (1,), generator=gen)
+        center = coords[ci[0]]
+    yg, xg = torch.meshgrid(torch.arange(out_h), torch.arange(out_w),
+                            indexing="ij")
+    grids = torch.stack([xg, yg], -1).view(-1, 2).float()
+    grids = (grids + (center - out_h // 2)).clamp(0, min(W - 1, H - 1))
+    grids = grids[None]                                   # (1, P, 2)
+
+    index = (grids[..., 0] + grids[..., 1] * W).long()
+
+    grids_h = torch.cat([grids, torch.ones_like(grids[..., :1])], -1)
+    inv_K = torch.inverse(t(batch["tar_k"])[:, :3, :3]).transpose(1, 2)
+    cam_rays = torch.bmm(grids_h, inv_K)
+    znear_rays = torch.norm(torch.bmm(znear * grids_h, inv_K), p=2, dim=-1,
+                            keepdim=True)
+    zfar_rays = torch.norm(torch.bmm(zfar * grids_h, inv_K), p=2, dim=-1,
+                           keepdim=True)
+    RT = t(batch["tar_rt"])
+    cam_rays = F.normalize(torch.bmm(cam_rays, RT[:, :3, :3]), p=2, dim=-1)
+    cam_pos = -torch.bmm(RT[:, :3, 3][:, None], RT[:, :3, :3])
+
+    with torch.no_grad():
+        z1, z2, hit = ray_bbox_intersection_t(t(batch["bounds"]), cam_pos,
+                                              cam_rays)
+    mask_z1 = (hit & (z1 > znear_rays)).float()
+    znear_rays = mask_z1 * z1 + (1.0 - mask_z1) * znear_rays
+    mask_z2 = (hit & (z2 < zfar_rays)).float()
+    zfar_rays = mask_z2 * z2 + (1.0 - mask_z2) * zfar_rays
+
+    # jittered stratified samples (model.py:1228-1235)
+    z = torch.linspace(0.0, 1.0, steps=sample_per_ray_c)
+    z = z[None, None, :].expand(*znear_rays.shape[:2], -1)
+    z_mid = 0.5 * (z[..., 1:] + z[..., :-1])
+    z_lower = torch.cat([z[..., :1], z_mid], -1)
+    z_upper = torch.cat([z_mid, z[..., -1:]], -1)
+    u = torch.rand(z.shape, generator=gen)
+    z = z_lower + u * (z_upper - z_lower)
+    z = znear_rays + (zfar_rays - znear_rays) * z
+
+    B = 1
+
+    def eval_func(z_depths, n_samples):
+        eval_pts = cam_pos[:, :, None] + cam_rays[:, :, None] \
+            * z_depths[..., None]
+        eval_pts = eval_pts.view(B, -1, 3)
+        view = cam_rays[:, :, None, :].expand(-1, -1, n_samples, -1)
+        view = view.reshape(B, -1, 3)
+        sdf_np, qvis_np = mesh_query_fn(eval_pts.detach().numpy())
+        query_sdf = t(sdf_np)
+        query_vis = t(qvis_np)
+        rgba, mask = query_eval_t(
+            rep, eval_pts, view, cam_in, feat_geo, feat_tex, img, fg_mask,
+            verts, vert_vis, query_vis, query_sdf, kpt3d, n_samples,
+            sp_args)
+        mask = mask.float()
+        if mask.dim() == 2:
+            mask = mask[..., None]
+        sdf = mask * rgba[..., :1] + (1.0 - mask) * (0.1 / nml_scale)
+        rad = rgba[..., 1:2]
+        if rand_noise_std > 0.0:
+            rad = rad + torch.randn(rad.shape, generator=gen) \
+                * rand_noise_std
+        rgb = rgba[..., 2:]
+        alpha = mask * F.relu(rad)
+        return torch.cat([alpha, sdf, rgb], -1), query_sdf
+
+    rgba_c, qsdf_c = eval_func(z, sample_per_ray_c)
+    rgba = rgba_c.view(B, -1, sample_per_ray_c, rgba_c.shape[-1])
+    qsdf_cv = qsdf_c.view(B, -1, sample_per_ray_c, 1)
+    color, depth, alpha, contrib, _sdf = rgba2out_t(rep, rgba, z, qsdf_cv)
+    out = {"tex_fg": color.view(B, out_h, out_w, 3),
+           "alpha": alpha.view(B, out_h, out_w)}
+
+    # fine: non-uniform importance draw + full re-eval (model.py:1301-1347)
+    z_mid = 0.5 * (z[..., 1:] + z[..., :-1])
+    with torch.no_grad():
+        contrib_d = contrib[..., 1:-1] + 1e-5
+        pdf = contrib_d / contrib_d.sum(-1, keepdim=True)
+        cdf = torch.cumsum(pdf, -1)
+        cdf = torch.cat([torch.zeros_like(cdf[:, :, :1]), cdf], 2)
+        sample = torch.rand(*cdf.shape[:-1], sample_per_ray_f,
+                            generator=gen)
+        idx = torch.searchsorted(cdf, sample.contiguous(), right=True)
+        idx_prev = (idx - 1).clamp(min=0)
+        idx = idx.clamp(max=cdf.shape[-1] - 1)
+        idx = torch.cat([idx_prev, idx], -1)
+        cdf_idx = torch.gather(cdf, -1, idx)
+        z_idx = torch.gather(z_mid, -1, idx)
+        num = sample - cdf_idx[:, :, :sample_per_ray_f]
+        den = cdf_idx[:, :, sample_per_ray_f:] - \
+            cdf_idx[:, :, :sample_per_ray_f]
+        den = torch.where(den < 1e-5, torch.ones_like(den), den)
+        z_fine = z_idx[:, :, :sample_per_ray_f] + (num / den) * (
+            z_idx[:, :, sample_per_ray_f:] - z_idx[:, :, :sample_per_ray_f])
+    z_fine = torch.sort(torch.cat([z, z_fine], -1), -1)[0]
+    n_all = sample_per_ray_c + sample_per_ray_f
+    rgba_f, qsdf_f = eval_func(z_fine, n_all)
+    rgba_f = rgba_f.view(*z_fine.shape, rgba_f.shape[-1])
+    qsdf_fv = qsdf_f.view(B, -1, n_all, 1)
+    color_f, _df, alpha_f, _cf, _sf = rgba2out_t(rep, rgba_f, z_fine,
+                                                 qsdf_fv)
+    out["tex_fg_fine"] = color_f.view(B, out_h, out_w, 3)
+    out["alpha_fine"] = alpha_f.view(B, out_h, out_w)
+
+    # gathered GT / context patches (model.py:1361-1418)
+    def gather_img(img_hwc):
+        v = t(img_hwc).reshape(B, -1, img_hwc.shape[-1])
+        g = v[0, index[0]]
+        return g.view(B, out_h, out_w, -1)
+
+    out["tar_img"] = gather_img(batch["tar_img"][0])
+    out["tar_alpha"] = gather_img(batch["tar_mask"][0])
+    src_img_b = batch["src_img"][0]
+    out["img_in"] = gather_img(src_img_b)
+    for k in ("input_densepose", "tar_densepose"):
+        if batch.get(k) is not None:
+            out[k] = gather_img(batch[k][0])
+    if vis_map_fn is not None:
+        vis_full = vis_map_fn()                           # (H, W, 1) numpy
+        out["vis_img"] = gather_img(vis_full)
+    return out
+
+
 def render_patch_eval_t(rep, batch, grids, mesh_query_fn, out_h, out_w,
                         sample_per_ray_c, sample_per_ray_f, sp_args,
                         nml_scale=100.0, fine=True):

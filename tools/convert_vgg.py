@@ -6,7 +6,7 @@ Run once in an environment with torchvision + the downloaded checkpoint:
 Then set VANERF_VGG19_NPZ=vgg19_features.npz.
 
 Mapping: torch `features.{idx}` convs -> flax layer names used by
-``vanerf_tpu.losses.Vgg19Features`` (conv1_1 ... conv4_2).  Torch conv
+``vanerf_tpu.losses.Vgg19Features`` (conv1_1 ... conv4_1).  Torch conv
 weights are (out, in, kh, kw); flax expects (kh, kw, in, out).
 """
 
@@ -17,8 +17,8 @@ import numpy as np
 _TORCH_IDX_TO_NAME = {
     0: "conv1_1", 2: "conv1_2", 5: "conv2_1", 7: "conv2_2",
     10: "conv3_1", 12: "conv3_2", 14: "conv3_3", 16: "conv3_4",
-    19: "conv4_1", 21: "conv4_2",
-}
+    19: "conv4_1",    # the reference's slice4 is features[12:21] — it
+}                     # ends at relu4_1; conv4_2 (idx 21) is NOT used
 
 
 def convert_vgg_sd(sd) -> dict:

@@ -100,11 +100,11 @@ def psnr(img0: jnp.ndarray, img1: jnp.ndarray,
 # VGG19 perceptual loss
 # --------------------------------------------------------------------------
 
-_VGG_SLICES = (  # conv layer channel plan up to relu4_2 (utils.py:895-902)
+_VGG_SLICES = (  # conv layer channel plan up to relu4_1 (utils.py:895-902)
     (64, 64),            # slice1: conv1_1 (+relu)  [torch features 0..1]
     (128, 128),          # slice2: conv1_2, pool, conv2_1   [2..6]
     (256,),              # slice3: conv2_2, pool, conv3_1   [7..11]
-    (256, 256, 512, 512),  # slice4: conv3_2..conv4_2       [12..20]
+    (256, 256, 512),     # slice4: conv3_2..relu(conv4_1)   [12..20]
 )
 
 
@@ -136,9 +136,8 @@ class Vgg19Features(nn.Module):
         h = nn.relu(conv(256, "conv3_4")(h))
         h = pool(h)
         h = nn.relu(conv(512, "conv4_1")(h))
-        h = nn.relu(conv(512, "conv4_2")(h))
-        outs.append(h)                       # relu4_2  (slice4)
-        return outs
+        outs.append(h)                       # relu4_1  (slice4 ends at
+        return outs                          # torch features idx 20)
 
 
 _IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)

@@ -23,9 +23,19 @@ class CheckpointManager:
                 max_to_keep=max_to_keep, create=True),
         )
 
-    def save(self, step: int, state: Any, metrics: Optional[dict] = None):
+    def save(self, step: int, state: Any, metrics: Optional[dict] = None,
+             wait: bool = True):
+        """wait=False overlaps the disk write with subsequent compute
+        (orbax still copies device->host synchronously inside save(), so
+        donated/updated buffers cannot corrupt the snapshot; writes are
+        atomic via temp dirs).  Call :meth:`wait` before reading the dir
+        or exiting."""
         self.mngr.save(step, args=ocp.args.StandardSave(state),
                        metrics=metrics, force=True)
+        if wait:
+            self.mngr.wait_until_finished()
+
+    def wait(self):
         self.mngr.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:

@@ -200,7 +200,11 @@ def fit(train_step: Callable, state: TrainState, dataset,
     val_interval = tcfg.get("pl_cfg", {}).get("val_check_interval", 0.1)
 
     logger = MetricLogger(save_dir)
-    ckpt = CheckpointManager(os.path.join(save_dir, "ckpts"))
+    # keep-all mirrors the reference's ModelCheckpoint (train.py:27-37);
+    # training.keep_ckpts bounds disk for long synthetic/perf runs
+    # (~320 MB per G+D+Adam state).
+    ckpt = CheckpointManager(os.path.join(save_dir, "ckpts"),
+                             max_to_keep=cfg["training"].get("keep_ckpts"))
 
     n = len(dataset)
     steps_per_epoch = max(n // batch_size, 1)
@@ -257,9 +261,17 @@ def fit(train_step: Callable, state: TrainState, dataset,
             dt = time.time() - t_epoch
             logger.log_scalars(step_i, {"epoch": epoch,
                                         "epoch_time_s": dt})
-            ckpt.save(step_i, state)
+            # per-epoch save is reference parity; training.ckpt_every_epochs
+            # thins it for long synthetic runs where the ~320 MB state
+            # write dominates the 8 s epoch (last epoch always saves)
+            every = max(1, int(cfg["training"].get("ckpt_every_epochs", 1)))
+            if (epoch + 1) % every == 0 or epoch == max_epochs - 1:
+                # async: overlap the ~320 MB state write with the next
+                # epoch's compute; the final wait is in the finally block
+                ckpt.save(step_i, state, wait=False)
         return state
     finally:
+        ckpt.wait()          # flush any in-flight async save
         loader.close()
 
 
