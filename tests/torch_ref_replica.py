@@ -918,8 +918,11 @@ def render_patch_train_t(rep, batch, mesh_query_fn, out_h, out_w,
     znear, zfar = float(batch["znear"]), float(batch["zfar"])
     cam_in = {"KRT": t(batch["src_krt"]), "extrin": t(batch["src_extrin"]),
               "width": W, "height": H, "znear": znear, "zfar": zfar}
-    feat_geo = [nchw_(f) for f in batch["feat_geo"]]
-    feat_tex = nchw_(batch["feat_tex"])
+    # feature maps may arrive as live torch tensors (training: encoder
+    # outputs WITH grad) or numpy (precomputed)
+    as_map = lambda f: f if torch.is_tensor(f) else nchw_(f)
+    feat_geo = [as_map(f) for f in batch["feat_geo"]]
+    feat_tex = as_map(batch["feat_tex"])
     img = nchw_(batch["src_img"])
     fg_mask = nchw_(batch["src_mask"])
     verts = t(batch["verts"])
