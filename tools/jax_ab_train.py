@@ -113,7 +113,7 @@ def main():
     level = max(1, int(math.log2(H)) - 5)
     scores = []
     for i in range(args.eval_frames):
-        item = ds_test[i * ds_test.n_cams % len(ds_test)]
+        item = ds_test[(i * (ds_test.n_cams + 1)) % len(ds_test)]
         batch = collate_numpy([item], faces=ds.faces)
         out = render_full_image(
             model, state.params_g, batch, level=level,

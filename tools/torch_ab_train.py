@@ -59,6 +59,8 @@ def main():
     ap.add_argument("--steps", type=int, default=1500)
     ap.add_argument("--eval_frames", type=int, default=2)
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--eval_only", action="store_true",
+                    help="load final_model.ckpt from --out and re-eval")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
@@ -180,6 +182,11 @@ def main():
     step = 0
     t0 = time.time()
     epoch = 0
+    if args.eval_only:
+        ck = torch.load(os.path.join(args.out, "final_model.ckpt"),
+                        map_location="cpu", weights_only=False)
+        rep.load_state_dict(ck["state_dict"])
+        step = ck.get("global_step", 0)
     while step < args.steps:
         order = rs.permutation(len(ds))
         for i in order:
@@ -268,7 +275,7 @@ def main():
     rep.eval()
     scores = []
     for i in range(args.eval_frames):
-        item = ds_test[i * ds_test.n_cams % len(ds_test)]
+        item = ds_test[(i * (ds_test.n_cams + 1)) % len(ds_test)]
         batch = np_batch(item)
         vv = vert_vis_np(batch)
         y, x = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
