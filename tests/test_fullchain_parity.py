@@ -102,8 +102,11 @@ def _center_grid():
     return np.stack([x, y], -1).reshape(1, -1, 2).astype(np.float32)
 
 
-def test_full_chain_render_parity(setup):
+def test_full_chain_render_parity(setup, monkeypatch):
     cfg, rep, g, model, batch, faces = setup
+    # exactness test: disable the (quality-gated, serving-default)
+    # far-field tier so the JAX side matches the torch oracle to 1e-4
+    monkeypatch.setenv("VANERF_FAR_TAU", "0")
     grids = _center_grid()
 
     # --- JAX side: the production render_patch, deterministic eval ---

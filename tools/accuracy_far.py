@@ -29,6 +29,8 @@ def main():
     flags = dict(kv.split("=", 1) for kv in getattr(args, "set"))
     for k in flags:
         os.environ.pop(k, None)
+    os.environ["VANERF_FAR_TAU"] = "0"     # exact baseline (tau defaults
+    # on at serving since the round-3 quality gate)
 
     import jax
     import jax.numpy as jnp

@@ -40,6 +40,10 @@ def main():
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
+    # exact eval numerics on both sides of the anchor (the serving-default
+    # far tier assumes a TRAINED beta; at 1500 steps it is not saturated)
+    os.environ["VANERF_FAR_TAU"] = "0"
+
     import jax
     import jax.numpy as jnp
     from torch_ab_train import tiny_cfg, H, W, NUM_V
@@ -132,6 +136,11 @@ def main():
     with open(os.path.join(args.out, "eval.json"), "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
+    import pickle
+    with open(os.path.join(args.out, "final_params.pkl"), "wb") as f:
+        pickle.dump({"params_g": jax.tree.map(np.asarray, state.params_g),
+                     "params_d": jax.tree.map(np.asarray, state.params_d),
+                     "global_step": step}, f)
 
 
 if __name__ == "__main__":

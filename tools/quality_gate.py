@@ -47,8 +47,10 @@ def main():
     ap.add_argument("--H", type=int, default=256)
     args = ap.parse_args()
 
-    for k in ("VANERF_FAR_TAU", "VANERF_FAR_SKIP"):
-        os.environ.pop(k, None)
+    # pin the EXACT baseline: tau now defaults ON at serving, so the
+    # reference render must force it off
+    os.environ["VANERF_FAR_TAU"] = "0"
+    os.environ.pop("VANERF_FAR_SKIP", None)
 
     import jax
     import jax.numpy as jnp
@@ -106,6 +108,7 @@ def main():
         approx = render_suite()
         for k in flags:
             os.environ.pop(k, None)
+        os.environ["VANERF_FAR_TAU"] = "0"
         dp = float(np.mean([compute_psnr(a[0], e[0])
                             for a, e in zip(approx, exact)]))
         dssim = float(np.mean([compute_ssim_crop(a[0], e[0], e[2])

@@ -232,8 +232,16 @@ def render_patch(model, params, batch: Dict[str, Any], *, rng,
     # patches it from the KNN gather it already performs — zero extra
     # gathers). Cuts the dominant kernel's visited (tile, chunk) pairs by
     # ~35% at tau=3cm on production patches.
-    far_tau = os.environ.get("VANERF_FAR_TAU", "")
-    far2 = (float(far_tau) ** 2) if far_tau else None
+    # Serving default tau=0.02 m: promoted by the trained-model quality
+    # gate (tools/quality_gate.py, docs/perf.md) — GT-PSNR delta
+    # -0.006 dB, >52 dB PSNR vs the exact render, +10.6% throughput.
+    # Training keeps exact numerics (the tier is not differentiated-
+    # through and parity training must match reference gradients);
+    # VANERF_FAR_TAU=0 forces exact at eval (checkpoint-parity runs).
+    far_tau = os.environ.get("VANERF_FAR_TAU",
+                             "" if training else "0.02")
+    far2 = (float(far_tau) ** 2) if far_tau and float(far_tau) > 0 \
+        else None
     if far2 is not None and (fused_train
                              or getattr(model, "sp_conv", False)
                              or os.environ.get("VANERF_FUSED_MLP")):
