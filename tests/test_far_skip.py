@@ -116,6 +116,38 @@ def test_far_skip_composes_with_far_tau(setup, monkeypatch):
 
 
 @pytest.mark.slow
+def test_far_tau_serving_default(setup, monkeypatch):
+    """FAR_TAU defaults to 0.02 at inference (trained-model quality gate,
+    docs/perf.md) and stays OFF during training; VANERF_FAR_TAU=0 forces
+    exact."""
+    model, params, batch, grids, _rng = setup
+    from vanerf_tpu.renderer import render_patch
+
+    def render(training, **env):
+        for k, v in env.items():
+            monkeypatch.setenv(k, v)
+        out = render_patch(model, params, batch,
+                           rng=jax.random.PRNGKey(0), grids=grids,
+                           out_h=8, out_w=8, sample_per_ray_c=8,
+                           sample_per_ray_f=8, fine=True, uniform=True,
+                           training=training, sdf_chunk=64,
+                           compute_vis_map=False)
+        for k in env:
+            monkeypatch.delenv(k, raising=False)
+        return np.asarray(out["tex_fg_fine"])
+
+    # inference: default == explicit 0.02, and may differ from exact
+    default_out = render(False)
+    explicit = render(False, VANERF_FAR_TAU="0.02")
+    np.testing.assert_array_equal(default_out, explicit)
+    exact = render(False, VANERF_FAR_TAU="0")
+    assert np.isfinite(exact).all()
+    # training: default must equal explicit tau-off (exact gradients)
+    t_default = render(True)
+    t_exact = render(True, VANERF_FAR_TAU="0")
+    np.testing.assert_array_equal(t_default, t_exact)
+
+
 def test_far_skip_ignored_in_training(setup, monkeypatch):
     """The budget is serving-only: a training render with the flag set
     must be identical to one without (same rng)."""
