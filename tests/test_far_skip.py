@@ -116,6 +116,39 @@ def test_far_skip_composes_with_far_tau(setup, monkeypatch):
 
 
 @pytest.mark.slow
+def test_far_net_global_budget(setup, monkeypatch):
+    """VANERF_FAR_NET: global nearest-to-surface network budget.  A
+    generous budget (drops only the globally farthest samples, where the
+    prior density saturates) must track the exact render closely; the
+    budget composes with FAR_TAU; training ignores it."""
+    model, params, batch, grids, rng = setup
+    monkeypatch.setenv("VANERF_FAR_TAU", "0")
+    exact = _run(model, params, batch, grids, rng)
+    monkeypatch.setenv("VANERF_FAR_NET", "0.8")
+    budget = _run(model, params, batch, grids, rng)
+    d = np.abs(np.asarray(budget["tex_fg_fine"])
+               - np.asarray(exact["tex_fg_fine"]))
+    assert np.isfinite(np.asarray(budget["tex_fg_fine"])).all()
+    assert float(d.mean()) < 5e-3, float(d.mean())
+    # kept rows are evaluated identically: alpha where the exact render
+    # had weight should broadly agree
+    assert float(np.abs(np.asarray(budget["alpha_fine"])
+                        - np.asarray(exact["alpha_fine"])).mean()) < 2e-2
+
+    # composes with the far-tau tier
+    monkeypatch.setenv("VANERF_FAR_TAU", "0.05")
+    both = _run(model, params, batch, grids, rng)
+    assert np.isfinite(np.asarray(both["tex_fg_fine"])).all()
+    monkeypatch.setenv("VANERF_FAR_TAU", "0")
+
+    # training path ignores the budget entirely
+    t_on = _run(model, params, batch, grids, rng, training=True)
+    monkeypatch.delenv("VANERF_FAR_NET")
+    t_off = _run(model, params, batch, grids, rng, training=True)
+    np.testing.assert_array_equal(np.asarray(t_on["tex_fg_fine"]),
+                                  np.asarray(t_off["tex_fg_fine"]))
+
+
 def test_far_tau_serving_default(setup, monkeypatch):
     """FAR_TAU defaults to 0.02 at inference (trained-model quality gate,
     docs/perf.md) and stays OFF during training; VANERF_FAR_TAU=0 forces

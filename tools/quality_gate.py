@@ -34,6 +34,15 @@ SWEEPS = {
         {"VANERF_FAR_TAU": "0.02", "VANERF_FAR_SKIP": "0.5"},
         {"VANERF_FAR_TAU": "0.03", "VANERF_FAR_SKIP": "0.375"},
     ],
+    # global nearest-to-surface network budget (threshold-adaptive)
+    "far_net": [
+        {"VANERF_FAR_NET": "0.75"},
+        {"VANERF_FAR_NET": "0.5"},
+        {"VANERF_FAR_NET": "0.375"},
+        {"VANERF_FAR_NET": "0.25"},
+        {"VANERF_FAR_NET": "0.5", "VANERF_FAR_TAU": "0.02"},
+        {"VANERF_FAR_NET": "0.375", "VANERF_FAR_TAU": "0.02"},
+    ],
 }
 
 

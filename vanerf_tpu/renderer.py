@@ -269,6 +269,28 @@ def render_patch(model, params, batch: Dict[str, Any], *, rng,
                          and not os.environ.get("VANERF_FUSED_MLP"))
                      else 0.0)
 
+    # VANERF_FAR_NET=<frac in (0,1]>: serving-only GLOBAL network budget.
+    # Where FAR_SKIP fixes a per-RAY sample budget (and fails its quality
+    # gate at frac <= 0.5: rays intersecting the hands are forced to drop
+    # NEAR-surface samples whose prior density is not saturated), this
+    # selects the round(frac*N) samples nearest the MANO surface across
+    # the WHOLE patch by the certified nearest-vertex distance — i.e. a
+    # distance THRESHOLD that adapts per patch under a static-shape
+    # budget.  Hard patches (most samples near the hands) keep all their
+    # near samples; easy patches drop their far ones, which are exactly
+    # where the trained sigmoid-beta density saturates to ~0 and no
+    # color is needed.  Dropped rows composite with the mesh-prior
+    # density (rad=0, valid=0 in eval_func).  n_views==1 only: global
+    # compaction destroys the per-ray sample grouping the multi-view IBR
+    # head reshapes by (at V=1 query() is purely per-sample).
+    # Takes precedence over FAR_SKIP when both are set.
+    far_net_frac = (float(os.environ.get("VANERF_FAR_NET", "0") or 0.0)
+                    if (not training and not fused_train and not soa_points
+                        and n_views == 1
+                        and not getattr(model, "sp_conv", False)
+                        and not os.environ.get("VANERF_FUSED_MLP"))
+                    else 0.0)
+
     def query_at(z_depths, n_samples, key):
         """Sample points at depths, run mesh queries + the network."""
         if soa_points:
@@ -352,11 +374,46 @@ def render_patch(model, params, batch: Dict[str, Any], *, rng,
             out, valid = _net(params, pts, view, feat_geo, feat_tex,
                               q_vis, q_sdf, nn_idx)
         else:
+            kc = 0
+            if 0.0 < far_net_frac < 1.0 and not remat_mode:
+                Ntot = pts.shape[1]
+                kc = min(Ntot, max(128, (int(round(Ntot * far_net_frac))
+                                         + 127) // 128 * 128))
+                if kc >= Ntot:
+                    kc = 0
             ks = 0
-            if 0.0 < far_skip_frac <= 1.0 and not remat_mode:
+            if 0.0 < far_skip_frac <= 1.0 and not remat_mode and not kc:
                 ks = min(n_samples,
                          max(1, int(round(n_samples * far_skip_frac))))
-            if ks:
+            if kc:
+                # global nearest-to-surface budget: run the network on the
+                # kc globally-nearest rows, scatter results back; dropped
+                # rows keep the mesh-prior density and no color.
+                Ntot = pts.shape[1]
+                sel = jnp.argsort(nn_d2, axis=-1)[:, :kc]      # (B, kc)
+                parts = [pts, view, q_vis.astype(jnp.float32), q_sdf,
+                         nn_idx[..., None].astype(jnp.float32)]
+                if far_mask is not None:
+                    parts.append(far_mask.astype(jnp.float32))
+                packed = jnp.concatenate(parts, -1)            # (B,N,9|10)
+                sub = jnp.take_along_axis(packed, sel[..., None], axis=1)
+                far_k = (sub[..., 9:10] > 0.5) if far_mask is not None \
+                    else None
+                out_k, valid_k = model.apply(
+                    params, sub[..., :3], sub[..., 3:6], cam_in, feat_geo,
+                    feat_tex, src_img, batch["src_mask"], verts, vert_vis,
+                    sub[..., 6:7].astype(q_vis.dtype), sub[..., 7:8],
+                    batch["kpt3d"], kc, n_views, False, dropout_rng=None,
+                    bounds=batch["bounds"],
+                    nn_idx=sub[..., 8].astype(jnp.int32),
+                    far_mask=far_k, method=model.query)
+                co = out_k.shape[-1]
+                buf = jnp.concatenate([out_k, valid_k], -1)
+                full = jnp.zeros((B, Ntot, co + 1), buf.dtype)
+                bi = jnp.arange(B)[:, None]
+                full = full.at[bi, sel].set(buf)
+                out, valid = full[..., :co], full[..., co:]
+            elif ks:
                 # per-ray budget: select the ks nearest-to-surface samples
                 # (ascending certified nearest-vertex d2), run the network
                 # on the compacted (B, P*ks) rows, scatter results back.
@@ -648,8 +705,9 @@ def render_full_image(model, params, batch, *, level: int,
            # render_patch — they must key the cached program too (the
            # quality-gate sweep toggles them between frames)
            tuple(os.environ.get(k, "") for k in
-                 ("VANERF_FAR_TAU", "VANERF_FAR_SKIP", "VANERF_SOA_POINTS",
-                  "VANERF_FUSED_MLP", "VANERF_MXU_INTERP", "VANERF_TWO_RES",
+                 ("VANERF_FAR_TAU", "VANERF_FAR_SKIP", "VANERF_FAR_NET",
+                  "VANERF_SOA_POINTS", "VANERF_FUSED_MLP",
+                  "VANERF_MXU_INTERP", "VANERF_TWO_RES",
                   "VANERF_CULL_EARLY", "VANERF_WINDING")))
     tile_fn = _TILE_FN_CACHE.get(key)
     if tile_fn is None:
