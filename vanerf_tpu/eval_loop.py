@@ -162,6 +162,12 @@ def _run_test_inner(loader, n, model, state, cfg, save_dir, evaluator,
     results["lpips_pretrained"] = evaluator.lpips_fn is not None
     results["vgg_random_init"] = not bool(
         os.environ.get("VANERF_VGG19_NPZ", ""))
+    # approximate-tier provenance: tau defaults on at serving (quality-
+    # gated lossless, docs/perf.md); VANERF_FAR_TAU=0 forces exact for
+    # bit-parity evals — every report says which numerics produced it
+    results["far_tau"] = os.environ.get("VANERF_FAR_TAU", "0.02")
+    if os.environ.get("VANERF_FAR_NET"):
+        results["far_net"] = os.environ["VANERF_FAR_NET"]
     step = int(state.step)
     # test_{name}_{epoch}_{step}.yml (ref model.py:110-121)
     path = os.path.join(save_dir,
