@@ -35,7 +35,7 @@ sys.path.insert(0, osp.abspath(osp.join(osp.dirname(__file__), "..")))
 
 from PIL import Image
 
-from vanerf_tpu.mano import load_mano_model, mano_forward, seal_verts_np
+from vanerf_tpu.mano import load_mano_pair, mano_forward, seal_verts_np
 from vanerf_tpu.data.densepose import densepose_colors  # vendored v_color table
 
 IMG_SIZE = 256
@@ -128,10 +128,8 @@ def main(argv=None):
             annot, f"InterHand2.6M_{args.split}_MANO_NeuralAnnot.json")) as f:
         manos = json.load(f)
 
-    mano = {"right": load_mano_model(
-                osp.join(args.smplx_path, "mano", "MANO_RIGHT.pkl"), True),
-            "left": load_mano_model(
-                osp.join(args.smplx_path, "mano", "MANO_LEFT.pkl"), False)}
+    # conditional left-shapedirs fix requires the pair (dataset.py:26-32)
+    mano = load_mano_pair(osp.join(args.smplx_path, "mano"))
 
     out_base = osp.join(args.out, args.split)
     for sub in ("image", "mask", "densepose", "annotation", "index"):

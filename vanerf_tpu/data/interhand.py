@@ -33,7 +33,7 @@ from typing import Optional
 import numpy as np
 from PIL import Image
 
-from ..mano import load_mano_model, mano_forward, seal_verts_np
+from ..mano import load_mano_pair, mano_forward, seal_verts_np
 from ..ops.ray import get_rays_np, get_near_far_np
 
 # fixed test view-pair tables (dataset.py:406-411)
@@ -91,12 +91,8 @@ class InterHandDataset:
                                    "InterHand2.6M/annotations")
         self.processed = osp.join(data_root or ".", "processed_dataset")
 
-        self.mano = {
-            "right": load_mano_model(
-                osp.join(smplx_path, "mano", "MANO_RIGHT.pkl"), True),
-            "left": load_mano_model(
-                osp.join(smplx_path, "mano", "MANO_LEFT.pkl"), False),
-        }
+        # conditional left-shapedirs fix requires the pair (dataset.py:26-32)
+        self.mano = load_mano_pair(osp.join(smplx_path, "mano"))
         jr_path = osp.join(smplx_path, "mano", "J_regressor_mano_ih26m.npy")
         self.joint_regressor = (np.load(jr_path) if osp.exists(jr_path)
                                 else None)

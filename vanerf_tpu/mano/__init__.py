@@ -1,1 +1,2 @@
-from .layer import ManoModel, load_mano_model, mano_forward, seal_verts_np  # noqa: F401
+from .layer import (ManoModel, load_mano_model, load_mano_pair,  # noqa: F401
+                    mano_forward, seal_verts_np)

@@ -71,12 +71,8 @@ class ManoModel:
     synthetic: bool = False
 
 
-def load_mano_model(path: str, is_rhand: bool,
-                    fix_left_shapedirs: bool = True) -> ManoModel:
-    """Load a MANO pkl. Falls back to :func:`synthetic_mano_model` when the
-    file is absent."""
-    if not os.path.exists(path):
-        return synthetic_mano_model(is_rhand)
+def _load_mano_pkl(path: str, is_rhand: bool) -> ManoModel:
+    """Read one MANO pkl verbatim (no shapedirs fix applied)."""
     with open(path, "rb") as f:
         data = _ManoUnpickler(f, encoding="latin1").load()
     m = ManoModel(
@@ -91,11 +87,61 @@ def load_mano_model(path: str, is_rhand: bool,
         is_rhand=is_rhand,
     )
     m.parents[0] = 0
+    return m
+
+
+def _flip_left_shapedirs(left: ManoModel) -> ManoModel:
+    left.shapedirs = left.shapedirs.copy()
+    left.shapedirs[:, 0, :] *= -1
+    return left
+
+
+def _maybe_fix_left_pair(left: ManoModel, right: ManoModel) -> ManoModel:
+    """The reference's CONDITIONAL smplx left-shapedirs bug fix
+    (``src/dataset.py:29-32``): the official MANO release ships the left
+    hand with right-hand shapedirs x-components; flip them only when the
+    left/right x-shapedirs actually coincide, so an already-corrected pkl
+    is not double-flipped."""
+    if np.abs(left.shapedirs[:, 0, :] - right.shapedirs[:, 0, :]).sum() < 1:
+        return _flip_left_shapedirs(left)
+    return left
+
+
+def load_mano_pair(mano_dir: str,
+                   right_name: str = "MANO_RIGHT.pkl",
+                   left_name: str = "MANO_LEFT.pkl") -> dict:
+    """Load {'right','left'} MANO models with the reference's conditional
+    left-shapedirs fix (``src/dataset.py:26-32``).  Falls back to the
+    synthetic pair when either pkl is absent (license-gated downloads)."""
+    rp = os.path.join(mano_dir, right_name)
+    lp = os.path.join(mano_dir, left_name)
+    if not (os.path.exists(rp) and os.path.exists(lp)):
+        return {"right": load_mano_model(rp, True),
+                "left": load_mano_model(lp, False)}
+    right = _load_mano_pkl(rp, True)
+    left = _maybe_fix_left_pair(_load_mano_pkl(lp, False), right)
+    return {"right": right, "left": left}
+
+
+def load_mano_model(path: str, is_rhand: bool,
+                    fix_left_shapedirs: bool = True) -> ManoModel:
+    """Load a single MANO pkl.  Falls back to :func:`synthetic_mano_model`
+    when the file is absent.
+
+    For the left hand the shapedirs fix is applied CONDITIONALLY per the
+    reference (``src/dataset.py:29-32``) by also reading the sibling
+    MANO_RIGHT.pkl from the same directory when it exists; if the sibling
+    is absent the fix is applied unconditionally (the behavior with the
+    official — bugged — MANO release).  Prefer :func:`load_mano_pair`."""
+    if not os.path.exists(path):
+        return synthetic_mano_model(is_rhand)
+    m = _load_mano_pkl(path, is_rhand)
     if not is_rhand and fix_left_shapedirs:
-        # smplx left-hand shapedirs bug fix (dataset.py:29-32): if the left
-        # pkl shipped right-hand shapedirs, flip the x axis of dim 0.
-        m.shapedirs = m.shapedirs.copy()
-        m.shapedirs[:, 0, :] *= -1
+        sib = os.path.join(os.path.dirname(path), "MANO_RIGHT.pkl")
+        if os.path.exists(sib):
+            m = _maybe_fix_left_pair(m, _load_mano_pkl(sib, True))
+        else:
+            m = _flip_left_shapedirs(m)
     return m
 
 
