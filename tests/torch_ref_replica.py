@@ -295,8 +295,11 @@ def feat_sample_t(feat, uv):
 def knn_vis_t(query, vert, vert_feat, vert_vis, num_v=NUM_V):
     """KNN_vis (networks.py:27-33) with brute-force K=1 (no pytorch3d)."""
     d = torch.cdist(query, vert)
-    idx = d.argmin(-1)                                      # (B, N)
-    assert query.shape[0] == 1, "replica supports B=1 like the ref indexing"
+    idx = d.argmin(-1)                                      # (BV, N)
+    # the reference indexes with batch element 0's KNN result for every
+    # batch row (networks.py:29 `mink_idxs[0,:,:]`) — a quirk that is
+    # exact at B=1, and at B=1,V>1 too (query points are replicated
+    # across views, so every row's argmin coincides)
     i = idx[0]
     f = vert_feat[:, i] * vert_vis[:, i]
     f_toh = torch.cat([vert_feat[:, num_v:], vert_feat[:, :num_v]], 1)
@@ -620,19 +623,45 @@ def sdf_activation_t(beta, x):
     return torch.sigmoid(x / beta) / beta
 
 
+def view_dropout_t(gen, B, n_views):
+    """The reference's training view dropout (model.py:804-810): keep one
+    view always, drop others with p=0.5, permute views per batch.  Drawn
+    per-VIEW at (B, V, 1, 1) — constant across the patch's query points."""
+    dropout = torch.zeros(B, n_views, 1, 1)
+    dropout[:, :1] = 1.0
+    dropout[:, 1:] = (torch.rand(B, n_views - 1, 1, 1,
+                                 generator=gen) > 0.5).float()
+    rand_perm = torch.rand(B, n_views, 1, 1, generator=gen).argsort(dim=1)
+    return torch.gather(dropout, 1, rand_perm)
+
+
 def query_eval_t(rep, pts, view, cam, feat_geo, feat_tex, img, fg_mask,
                  verts, vert_vis, query_vis, query_sdf, kpt3d, n_samples,
-                 sp_args):
-    """VANeRF.query at n_views=1, eval mode (model.py:748-877).
+                 sp_args, n_views=1, dropout_mask=None):
+    """VANeRF.query, eval mode (model.py:748-877), n_views >= 1.
 
-    pts/view: (1, N, 3); cam: dict KRT/extrin (1,4,4) + width/height/
-    znear/zfar scalars; feat_geo: [coarse, fine] NCHW; feat_tex/img NCHW;
-    fg_mask (1,1,H,W); verts (1,2V,3); vert_vis (1,2V,1);
-    query_vis (1,N,1) float 0/1; query_sdf (1,N); kpt3d (1,K,3).
-    Returns out (1, N, 5), valid (1, N, 1).
+    pts/view: (B=1, N, 3); cam: dict KRT/extrin (BV,4,4) + width/height/
+    znear/zfar scalars; feat_geo: [coarse, fine] NCHW (BV,...); feat_tex/
+    img NCHW (BV,...); fg_mask (BV,1,H,W); verts (B,2V,3); vert_vis
+    (B,2V,1); query_vis (B,N,1) float 0/1; query_sdf (B,N); kpt3d (B,K,3).
+    dropout_mask: optional (B, V, 1, 1) train-mode view dropout (the
+    reference draws it inside query, model.py:804-810; injected here so
+    parity tests can pin it on both frameworks).
+    Returns out (B, N, 5), valid (B, N, 1).
+
+    At n_views > 1 the per-view GeoVisFusion composition follows the
+    framework's documented interpretation (the reference's own V>1 geo
+    fusion cannot run as written — its `feat_sampled[k].squeeze(1)` is a
+    no-op at V>1 and the 4-D/3-D torch.cat crashes): each view is fused
+    independently at (BV, N, C), then the mean/var pool in mlp_geo
+    combines views exactly as the reference's PoolModule (utils.py:721-780).
     """
     net = rep.model
-    v = pts
+    B, N, _ = pts.shape
+    if n_views != 1:
+        v = pts[:, None].expand(-1, n_views, -1, -1).reshape(-1, N, 3)
+    else:
+        v = pts
     KRT = cam["KRT"]
     width, height = cam["width"], cam["height"]
     znear, zfar = cam["znear"], cam["zfar"]
@@ -648,11 +677,13 @@ def query_eval_t(rep, pts, view, cam, feat_geo, feat_tex, img, fg_mask,
     mask_z = z >= -1.0
     out_mask = (mask_xy[..., 0] & mask_xy[..., 1]
                 & mask_z[..., 0])[..., None].float()
-    out_mask = out_mask.view(-1, 1, *out_mask.shape[1:])   # (B, V=1, N, 1)
+    out_mask = out_mask.view(-1, n_views, *out_mask.shape[1:])  # (B,V,N,1)
     fg_mask_xy = feat_sample_t(fg_mask.float(), xy)
-    fg_mask_xy = fg_mask_xy.view(-1, 1, *fg_mask_xy.shape[1:])
+    fg_mask_xy = fg_mask_xy.view(-1, n_views, *fg_mask_xy.shape[1:])
     out_mask = (out_mask * (fg_mask_xy > 0.1).all(1, keepdim=True)
                 * out_mask.bool().all(1, keepdim=True))
+    if dropout_mask is not None:                 # view dropout (train mode)
+        out_mask = out_mask * dropout_mask
 
     # smooth boundary pixel weights (model.py:813-821)
     std = 0.1
@@ -662,46 +693,65 @@ def query_eval_t(rep, pts, view, cam, feat_geo, feat_tex, img, fg_mask,
         pix_weight = torch.sigmoid(5.0 * (dist_boundary / std - 1.0))
         pix_weight = pix_weight[..., 0] * pix_weight[..., 1] \
             * pix_weight[..., 2]
-        pix_weight = pix_weight.view(-1, 1, pix_weight.shape[1], 1)
+        pix_weight = pix_weight.view(-1, n_views, pix_weight.shape[1], 1)
         pix_weight = pix_weight * out_mask
         pix_weight = pix_weight / (pix_weight.sum(1, keepdim=True) + 1e-6)
 
-    feat_sampled = [feat_sample_t(f, xy).unsqueeze(1) for f in feat_geo]
+    feat_sampled = [feat_sample_t(f, xy) for f in feat_geo]   # (BV, N, C)
 
+    kpt_rep = (torch.repeat_interleave(kpt3d, n_views, dim=0)
+               if n_views != 1 else kpt3d)
     y = spatial_rel_z_decay_t(
-        v, cam["extrin"], kpt3d, sp_level=sp_args["sp_level"],
+        v, cam["extrin"], kpt_rep, sp_level=sp_args["sp_level"],
         scale=sp_args["scale"], sigma=sp_args.get("sigma", 0.1))
-    y = y.view(-1, 1, *y.shape[1:])                        # (B, 1, N, sp)
+    y = y.view(-1, n_views, *y.shape[1:])                  # (B, V, N, sp)
 
-    # project mesh vertices into the source view (model.py:845-853)
-    vvh = verts @ KRT[:, :3, :3].transpose(1, 2) + KRT[:, :3, 3][:, None]
+    # project mesh vertices into the source views (model.py:845-853)
+    vert_rep = (torch.repeat_interleave(verts, n_views, dim=0)
+                if n_views != 1 else verts)
+    vvh = vert_rep @ KRT[:, :3, :3].transpose(1, 2) + KRT[:, :3, 3][:, None]
     vz = vvh[..., 2:3]
     vert_xy = vvh[..., :2] / (vz + 1e-8)
     vert_xy = torch.stack(
         [2.0 * (vert_xy[..., 0] / (width - 1.0)) - 1.0,
          2.0 * (vert_xy[..., 1] / (height - 1.0)) - 1.0], -1)
 
+    vv_rep = (torch.repeat_interleave(vert_vis, n_views, dim=0)
+              if n_views != 1 else vert_vis)
+    qv_rep = (torch.repeat_interleave(query_vis, n_views, dim=0)
+              if n_views != 1 else query_vis)
+    qs_rep = (torch.repeat_interleave(query_sdf, n_views, dim=0)
+              if n_views != 1 else query_sdf)
+
     fused = net.geo_vis_fusion(
-        vert_xy, feat_geo, [f.squeeze(1) for f in feat_sampled], verts, v,
-        vert_vis.type(torch.int), query_vis, query_sdf.unsqueeze(-1))
-    fused = [f.unsqueeze(1) for f in fused]                # (B, 1, N, C)
+        vert_xy, feat_geo, feat_sampled, vert_rep, v,
+        vv_rep.type(torch.int), qv_rep, qs_rep.unsqueeze(-1))
+    fused = [f.view(B, n_views, N, -1) for f in fused]     # (B, V, N, C)
 
     out, valid, _lv, latent_fused = net.mlp_geo(y, fused, out_mask,
                                                 pix_weight)
-    rgb = query_color_t(rep, vert_xy, verts, vert_vis, query_vis, v, xy,
+    rgb = query_color_t(rep, vert_xy, vert_rep, vv_rep, qv_rep, v, xy,
                         view, feat_tex, latent_fused, KRT, img,
-                        out_mask.view(-1, pts.shape[1], 1), n_samples)
+                        out_mask.reshape(B * n_views, N, 1), n_samples,
+                        n_views=n_views)
     out = torch.cat([out, rgb], -1)                        # (B, N, 5)
     return out, valid
 
 
 def query_color_t(rep, vert_xy, verts, vert_vis, query_vis, v, xy, view,
-                  feat_tex, latent_fused, KRT, img, out_mask, n_samples):
-    """query_color at n_views=1 (model.py:884-957)."""
+                  feat_tex, latent_fused, KRT, img, out_mask, n_samples,
+                  n_views=1):
+    """query_color (model.py:884-957), n_views >= 1."""
     net = rep.model
     BV, N, _ = v.shape
-    img_xy = feat_sample_t(img, xy)                        # (1, N, 3)
+    B = BV // n_views
+    img_xy = feat_sample_t(img, xy)                        # (BV, N, 3)
     pHW = N // n_samples
+    if n_views > 1:                       # pad tensors (model.py:912-916)
+        latent_fused = latent_fused.unsqueeze(1) \
+            .expand(-1, n_views, -1, -1).reshape(BV, N, -1)
+        view = view.view(B, 1, N, 3).expand(-1, n_views, -1, -1) \
+            .reshape(BV, N, 3)
     feat_xy = feat_sample_t(feat_tex, xy)
     latent_fused = net.ibr_compress_gfeat(latent_fused)
     rgb_feat = net.tex_vis_fusion(
@@ -711,18 +761,18 @@ def query_color_t(rep, vert_xy, verts, vert_vis, query_vis, v, xy, view,
     inv_calib = torch.inverse(KRT.float())
     cam_pos = inv_calib[:, :3, 3:4]
     cam_rays = F.normalize(v - cam_pos.view(-1, 1, 3), p=2, dim=-1)
-    ray_diff = (view - cam_rays).view(1, 1, N, 3)
+    ray_diff = (view - cam_rays).view(B, n_views, N, 3)
     ray_diff_norm = torch.norm(ray_diff, dim=-1, keepdim=True)
-    ray_diff_dot = (cam_rays * view).sum(-1).view(1, 1, N, 1)
+    ray_diff_dot = (cam_rays * view).sum(-1).view(B, n_views, N, 1)
     ray_diff_direction = ray_diff / torch.clamp(ray_diff_norm, min=1e-6)
     ray_diff = torch.cat([ray_diff_direction, ray_diff_dot], dim=-1)
 
     def to_ibr(x):
-        x = x.view(1, 1, pHW, n_samples, -1).permute(0, 2, 3, 1, 4)
-        return x.reshape(pHW, n_samples, 1, -1)
+        x = x.reshape(B, n_views, pHW, n_samples, -1).permute(0, 2, 3, 1, 4)
+        return x.reshape(B * pHW, n_samples, n_views, -1)
 
     out = net.mlp_tex(to_ibr(rgb_feat), to_ibr(ray_diff), to_ibr(out_mask))
-    return out.reshape(1, N, 3)
+    return out.reshape(B, N, 3)
 
 
 def rgba2out_t(rep, rgba, z, vert_sdf):
@@ -1060,15 +1110,17 @@ def render_patch_train_t(rep, batch, mesh_query_fn, out_h, out_w,
 
 def render_patch_eval_t(rep, batch, grids, mesh_query_fn, out_h, out_w,
                         sample_per_ray_c, sample_per_ray_f, sp_args,
-                        nml_scale=100.0, fine=True):
+                        nml_scale=100.0, fine=True, n_views=1):
     """Deterministic eval-path patch render (model.py:1102-1360).
 
     batch: numpy channels-last dict in the framework's schema (src_img
-    (1,H,W,3), src_mask (1,H,W,1), src_krt/src_extrin (1,4,4), tar_k/
+    (V,H,W,3), src_mask (V,H,W,1), src_krt/src_extrin (V,4,4), tar_k/
     tar_rt (1,4,4), verts (1,2V,3), kpt3d (1,K,3), bounds (1,2,3),
-    znear/zfar scalars, feat_geo/feat_tex numpy NHWC maps, vert_vis
-    (1,2V,1)).  mesh_query_fn(pts_np (1,N,3)) -> (sdf (1,N),
-    query_vis (1,N,1)) — the SAME mesh-query values the JAX side uses.
+    znear/zfar scalars, feat_geo/feat_tex numpy NHWC maps (V leading),
+    vert_vis (1,2V,1) — the FIRST source view's vertex visibility, like
+    the framework renderer hoists it (renderer.py:168-184)).
+    mesh_query_fn(pts_np (1,N,3)) -> (sdf (1,N), query_vis (1,N,1)) —
+    the SAME mesh-query values the JAX side uses.
     Returns dict of numpy outputs (channels-last).
     """
     import numpy as _np
@@ -1092,7 +1144,7 @@ def render_patch_eval_t(rep, batch, grids, mesh_query_fn, out_h, out_w,
         rgba, mask = query_eval_t(
             rep, eval_pts, view, cam_in, feat_geo, feat_tex, img, fg_mask,
             verts, vert_vis, query_vis, query_sdf, kpt3d, n_pts_samples,
-            sp_args)
+            sp_args, n_views=n_views)
         mask = mask.float()
         if mask.dim() == 2:
             mask = mask[..., None]

