@@ -10,9 +10,17 @@ north star from BASELINE.json is >=10M ray-samples/sec/chip on v5e, so
 ``vs_baseline`` is value / 10e6.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+``python bench.py --train`` instead benchmarks the PRODUCTION train step
+(faithful two-forward GAN + single-render mode, 64x64 patch, 64+64
+samples, R1, VGG) and prints one JSON line with both ms/step numbers —
+the mechanical training-throughput artifact (VERDICT r3 Weak #4; history
+in docs/perf.md).  vs_baseline = 132.2 / single_render_ms (round 3's best
+recorded single-render step on v5e, docs/perf.md far-tau table).
 """
 
 import json
+import sys
 import time
 
 
@@ -127,6 +135,55 @@ def main():
     }))
 
 
+def main_train():
+    """Production train-step throughput (VERDICT r3 Weak #4): the faithful
+    two-forward GAN step AND the single-render opt-out, at the shipped
+    config (256^2 sources, 64x64 patch, 64+64 samples, R1, VGG)."""
+    import jax
+    import jax.numpy as jnp
+    from vanerf_tpu import config as vconfig
+    from vanerf_tpu import losses as L
+    from vanerf_tpu.data import make_synthetic_batch
+    from vanerf_tpu.models import VANeRF, DiscriminatorVis
+    from vanerf_tpu.training.train_step import (create_train_state,
+                                                make_train_step)
+
+    cfg = vconfig.default_cfg()
+    batch_np, _faces, num_v = make_synthetic_batch(
+        batch_size=1, H=256, W=256, subdiv=3)
+    batch = jax.tree.map(jnp.asarray, batch_np)
+    model = VANeRF.from_config(cfg, num_v=num_v)
+    disc = DiscriminatorVis()
+    vgg = L.VGGLoss(dummy_hw=cfg["models"]["VANeRF"]["train_out_h"])
+    rng = jax.random.PRNGKey(0)
+    state0, (tx_g, tx_d) = create_train_state(model, disc, rng, batch,
+                                              cfg, steps_per_epoch=100)
+
+    import copy
+    results = {}
+    for mode in ("faithful", "single"):
+        c = copy.deepcopy(cfg)
+        c["training"]["reference_faithful_gan"] = mode == "faithful"
+        step = jax.jit(make_train_step(model, disc, tx_g, tx_d, c, vgg))
+        state, logs = step(state0, batch, jax.random.PRNGKey(1))
+        jax.block_until_ready(logs)                    # compile + warm
+        iters = 5
+        t0 = time.perf_counter()
+        for i in range(iters):
+            state, logs = step(state, batch, jax.random.fold_in(rng, i))
+        jax.block_until_ready(logs)
+        results[mode] = (time.perf_counter() - t0) / iters * 1e3
+        del state
+
+    print(json.dumps({
+        "metric": "train_step_ms",
+        "value": round(results["faithful"], 1),
+        "unit": "ms/step (faithful two-forward GAN)",
+        "vs_baseline": round(132.2 / results["single"], 4),
+        "single_render_ms": round(results["single"], 1),
+    }))
+
+
 def main_with_retries(tries: int = 4, delay_s: float = 90.0):
     """The remote-TPU tunnel occasionally refuses backend init for a
     while (observed: 'TPU backend setup/compile error (Unavailable)').
@@ -137,13 +194,15 @@ def main_with_retries(tries: int = 4, delay_s: float = 90.0):
     import subprocess
     import sys
 
+    train = "--train" in sys.argv
     if os.environ.get("_VANERF_BENCH_CHILD"):
-        return main()
+        return main_train() if train else main()
 
     env = dict(os.environ, _VANERF_BENCH_CHILD="1")
     for attempt in range(tries):
         try:
-            p = subprocess.run([sys.executable, os.path.abspath(__file__)],
+            p = subprocess.run([sys.executable, os.path.abspath(__file__)]
+                               + (["--train"] if train else []),
                                env=env, capture_output=True, text=True,
                                timeout=1500)
         except subprocess.TimeoutExpired as e:
