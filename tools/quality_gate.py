@@ -43,6 +43,15 @@ SWEEPS = {
         {"VANERF_FAR_NET": "0.5", "VANERF_FAR_TAU": "0.02"},
         {"VANERF_FAR_NET": "0.375", "VANERF_FAR_TAU": "0.02"},
     ],
+    # per-sample skip with nearest-evaluated inheritance (VERDICT r4 #5)
+    "far_tnet": [
+        {"VANERF_FAR_TNET": "0.5"},
+        {"VANERF_FAR_TNET": "0.375"},
+        {"VANERF_FAR_TNET": "0.25"},
+        {"VANERF_FAR_TNET": "0.5", "VANERF_FAR_TAU": "0.02"},
+        {"VANERF_FAR_TNET": "0.375", "VANERF_FAR_TAU": "0.02"},
+        {"VANERF_FAR_TNET": "0.25", "VANERF_FAR_TAU": "0.02"},
+    ],
 }
 
 
@@ -59,7 +68,13 @@ def main():
     # pin the EXACT baseline: tau now defaults ON at serving, so the
     # reference render must force it off
     os.environ["VANERF_FAR_TAU"] = "0"
-    os.environ.pop("VANERF_FAR_SKIP", None)
+    for k in ("VANERF_FAR_SKIP", "VANERF_FAR_NET", "VANERF_FAR_TNET"):
+        os.environ.pop(k, None)
+    # env-pin the OTHER tiers off too so config `inference` defaults
+    # cannot leak into the exact baseline
+    os.environ["VANERF_FAR_SKIP"] = "0"
+    os.environ["VANERF_FAR_NET"] = "0"
+    os.environ["VANERF_FAR_TNET"] = "0"
 
     import jax
     import jax.numpy as jnp
@@ -112,21 +127,37 @@ def main():
     print(json.dumps({"config": "exact", "psnr_vs_exact": None,
                       "ssim_vs_exact": None, "psnr_vs_gt": gt_psnr}))
 
-    for flags in SWEEPS[args.sweep]:
+    # the config-schema serving defaults (`inference` section — env vars
+    # override them; renderer.resolve_tier) are themselves a gated row, so
+    # the gate certifies exactly what a saved config.json will run
+    inf = cfg.get("inference", {})
+    cfg_flags = {f"VANERF_FAR_{k.split('_', 1)[1].upper()}": str(v)
+                 for k, v in inf.items()
+                 if k in ("far_tau", "far_skip", "far_net", "far_tnet")
+                 and float(v) > 0}
+    sweep = ([dict(cfg_flags, _label="config-inference-defaults")]
+             if cfg_flags else []) + SWEEPS[args.sweep]
+
+    for row in sweep:
+        label = row.get("_label")
+        flags = {k: v for k, v in row.items() if not k.startswith("_")}
         os.environ.update(flags)
         approx = render_suite()
-        for k in flags:
-            os.environ.pop(k, None)
-        os.environ["VANERF_FAR_TAU"] = "0"
+        for k in ("VANERF_FAR_TAU", "VANERF_FAR_SKIP", "VANERF_FAR_NET",
+                  "VANERF_FAR_TNET"):
+            os.environ[k] = "0"     # re-pin the exact/off baseline
         dp = float(np.mean([compute_psnr(a[0], e[0])
                             for a, e in zip(approx, exact)]))
         dssim = float(np.mean([compute_ssim_crop(a[0], e[0], e[2])
                                for a, e in zip(approx, exact)]))
         gp = float(np.mean([compute_psnr(p, g) for p, g, _ in approx]))
-        print(json.dumps({"config": flags, "psnr_vs_exact": round(dp, 2),
-                          "ssim_vs_exact": round(dssim, 4),
-                          "psnr_vs_gt": round(gp, 3),
-                          "gt_psnr_delta": round(gp - gt_psnr, 4)}))
+        rec = {"config": flags, "psnr_vs_exact": round(dp, 2),
+               "ssim_vs_exact": round(dssim, 4),
+               "psnr_vs_gt": round(gp, 3),
+               "gt_psnr_delta": round(gp - gt_psnr, 4)}
+        if label:
+            rec["label"] = label
+        print(json.dumps(rec))
 
 
 if __name__ == "__main__":

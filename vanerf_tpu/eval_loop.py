@@ -162,12 +162,25 @@ def _run_test_inner(loader, n, model, state, cfg, save_dir, evaluator,
     results["lpips_pretrained"] = evaluator.lpips_fn is not None
     results["vgg_random_init"] = not bool(
         os.environ.get("VANERF_VGG19_NPZ", ""))
-    # approximate-tier provenance: tau defaults on at serving (quality-
-    # gated lossless, docs/perf.md); VANERF_FAR_TAU=0 forces exact for
-    # bit-parity evals — every report says which numerics produced it
-    results["far_tau"] = os.environ.get("VANERF_FAR_TAU", "0.02")
-    if os.environ.get("VANERF_FAR_NET"):
-        results["far_net"] = os.environ["VANERF_FAR_NET"]
+    # approximate-tier provenance: the RESOLVED values (env var > config
+    # `inference` section > default; renderer.resolve_tier) — every
+    # report says which numerics produced it, and a saved config.json
+    # reproduces the run when no env override is present
+    from .renderer import resolve_tier
+    results["far_tau"] = resolve_tier(
+        "VANERF_FAR_TAU", getattr(model, "far_tau", 0.02), False)
+    far_net = resolve_tier("VANERF_FAR_NET",
+                           getattr(model, "far_net", 0.0), False)
+    if far_net:
+        results["far_net"] = far_net
+    far_skip = resolve_tier("VANERF_FAR_SKIP",
+                            getattr(model, "far_skip", 0.0), False)
+    if far_skip:
+        results["far_skip"] = far_skip
+    far_tnet = resolve_tier("VANERF_FAR_TNET",
+                            getattr(model, "far_tnet", 0.0), False)
+    if far_tnet:
+        results["far_tnet"] = far_tnet
     step = int(state.step)
     # test_{name}_{epoch}_{step}.yml (ref model.py:110-121)
     path = os.path.join(save_dir,
