@@ -35,7 +35,7 @@ sys.path.insert(0, osp.abspath(osp.join(osp.dirname(__file__), "..")))
 
 from PIL import Image
 
-from vanerf_tpu.mano import load_mano_pair, mano_forward, seal_verts_np
+from vanerf_tpu.mano import load_mano_pair, mano_forward_np, seal_verts_np
 from vanerf_tpu.data.densepose import densepose_colors  # vendored v_color table
 
 IMG_SIZE = 256
@@ -170,7 +170,7 @@ def main(argv=None):
         meshes, faces_all, off = [], [], 0
         for hand in ("right", "left"):
             a = mano_frame[hand]
-            verts, _ = mano_forward(
+            verts, _ = mano_forward_np(
                 mano[hand], np.asarray(a["shape"], np.float32).reshape(-1),
                 np.asarray(a["pose"], np.float32).reshape(-1),
                 np.asarray(a["trans"], np.float32).reshape(-1))

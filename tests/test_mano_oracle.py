@@ -212,3 +212,24 @@ def test_load_mano_pair_synthetic_fallback(tmp_path):
     pair = load_mano_pair(str(tmp_path / "nope"))
     assert pair["right"].synthetic and pair["left"].synthetic
     assert pair["right"].faces.shape == (N_FACES, 3)
+
+
+def test_mano_forward_np_matches_jax_and_oracle():
+    """The input-pipeline numpy fast path (mano_forward_np — one BLAS
+    call chain instead of ~100 eager-JAX dispatches per item) is
+    numerically identical to the JAX layer and the oracle."""
+    from vanerf_tpu.mano import mano_forward_np
+    for seed, is_rhand in ((4, True), (5, False)):
+        model = random_mano_model(200 + seed, is_rhand)
+        rs = np.random.RandomState(seed)
+        betas = rs.randn(10).astype(np.float32)
+        pose = (rs.randn(48) * 0.6).astype(np.float32)
+        trans = (rs.randn(3) * 0.1).astype(np.float32)
+        vj, jj = mano_forward(model, jnp.asarray(betas), jnp.asarray(pose),
+                              jnp.asarray(trans))
+        vn, jn = mano_forward_np(model, betas, pose, trans)
+        np.testing.assert_allclose(np.asarray(vj), vn, atol=2e-6)
+        np.testing.assert_allclose(np.asarray(jj), jn, atol=2e-6)
+        ov, oj = oracle_mano_forward(model, betas, pose, trans)
+        np.testing.assert_allclose(vn, ov, atol=5e-5)
+        np.testing.assert_allclose(jn, oj, atol=5e-5)

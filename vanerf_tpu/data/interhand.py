@@ -33,7 +33,7 @@ from typing import Optional
 import numpy as np
 from PIL import Image
 
-from ..mano import load_mano_pair, mano_forward, seal_verts_np
+from ..mano import load_mano_pair, mano_forward_np, seal_verts_np
 from ..ops.ray import get_rays_np, get_near_far_np
 
 # fixed test view-pair tables (dataset.py:406-411)
@@ -140,7 +140,7 @@ class InterHandDataset:
             pose = np.asarray(ann["pose"], np.float32).reshape(-1)
             shape = np.asarray(ann["shape"], np.float32).reshape(-1)
             trans = np.asarray(ann["trans"], np.float32).reshape(-1)
-            verts, _ = mano_forward(self.mano[hand], shape, pose, trans)
+            verts, _ = mano_forward_np(self.mano[hand], shape, pose, trans)
             verts = np.asarray(verts)
             if self.joint_regressor is not None:
                 joints.append(self.joint_regressor @ verts)
@@ -175,7 +175,7 @@ class InterHandDataset:
                 pose = np.asarray(ann["pose"], np.float32).reshape(-1)
                 shape = np.asarray(ann["shape"], np.float32).reshape(-1)
                 trans = np.asarray(ann["trans"], np.float32).reshape(-1)
-                verts, _ = mano_forward(self.mano[hand], shape, pose, trans)
+                verts, _ = mano_forward_np(self.mano[hand], shape, pose, trans)
                 meshes.append(np.asarray(verts))
             except Exception:
                 meshes.append(np.zeros((778, 3), np.float32))

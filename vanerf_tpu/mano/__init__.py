@@ -1,2 +1,2 @@
 from .layer import (ManoModel, load_mano_model, load_mano_pair,  # noqa: F401
-                    mano_forward, seal_verts_np)
+                    mano_forward, mano_forward_np, seal_verts_np)

@@ -274,6 +274,60 @@ def mano_forward(model: ManoModel, betas: jnp.ndarray, pose: jnp.ndarray,
     return verts + trans, joints_posed + trans
 
 
+def mano_forward_np(model: ManoModel, betas, pose, trans,
+                    flat_hand_mean: bool = False):
+    """Pure-numpy :func:`mano_forward` (identical math, f32).
+
+    The input pipeline calls MANO once per item per hand inside dataloader
+    workers; the eager-JAX version pays ~100 tiny op dispatches there
+    (measured dominant in tools/bench_loader.py --interhand), while this
+    runs as a handful of BLAS calls.  Golden-tested equal to the JAX
+    version and to the independent oracle (tests/test_mano_oracle.py).
+    """
+    betas = np.asarray(betas, np.float32)
+    pose = np.asarray(pose, np.float32)
+    trans = np.asarray(trans, np.float32)
+    root, hand = pose[:3], pose[3:]
+    if not flat_hand_mean:
+        hand = hand + model.hands_mean
+    full_pose = np.concatenate([root, hand]).reshape(N_JOINTS, 3)
+
+    v_shaped = model.v_template + model.shapedirs @ betas
+    joints = model.J_regressor @ v_shaped                     # (16, 3)
+
+    # Rodrigues (vectorized)
+    theta = np.maximum(np.linalg.norm(full_pose, axis=-1, keepdims=True),
+                       1e-8)
+    k = full_pose / theta
+    K = np.zeros((N_JOINTS, 3, 3), np.float32)
+    K[:, 0, 1], K[:, 0, 2] = -k[:, 2], k[:, 1]
+    K[:, 1, 0], K[:, 1, 2] = k[:, 2], -k[:, 0]
+    K[:, 2, 0], K[:, 2, 1] = -k[:, 1], k[:, 0]
+    t = theta[..., None]
+    rots = (np.eye(3, dtype=np.float32) + np.sin(t) * K
+            + (1 - np.cos(t)) * (K @ K))                      # (16, 3, 3)
+
+    pose_feat = (rots[1:] - np.eye(3, dtype=np.float32)).reshape(-1)
+    v_posed = v_shaped + model.posedirs @ pose_feat
+
+    r_glob = np.empty((N_JOINTS, 3, 3), np.float32)
+    j_posed = np.empty((N_JOINTS, 3), np.float32)
+    r_glob[0], j_posed[0] = rots[0], joints[0]
+    for j in range(1, N_JOINTS):
+        p = model.parents[j]
+        r_glob[j] = r_glob[p] @ rots[j]
+        j_posed[j] = j_posed[p] + r_glob[p] @ (joints[j] - joints[p])
+
+    # skinning: x -> R_glob_j (x - J_rest_j) + J_posed_j, weight-blended.
+    # Blend the per-joint affine (R, t) pairs FIRST (16 joints), then
+    # apply once per vertex — two small matmuls instead of 16x778 pairs.
+    t_glob = j_posed - np.einsum("jab,jb->ja", r_glob, joints)  # (16, 3)
+    R_v = np.einsum("vj,jab->vab", model.weights, r_glob)     # (778, 3, 3)
+    t_v = model.weights @ t_glob                              # (778, 3)
+    verts = np.einsum("vab,vb->va", R_v, v_posed) + t_v
+    return verts + trans, j_posed + trans
+
+
 def seal_verts_np(verts: np.ndarray, faces: np.ndarray, hand_type: str):
     """Append the wrist-center vertex + 16 sealing faces
     (reference ``dataset.py:35-52``).
