@@ -141,8 +141,18 @@ def main():
             dt = time.time() - t0
         finally:
             loader.close()
-        print(f"workers={w}: {n / dt:.2f} items/s "
-              f"({1e3 * dt / n:.1f} ms/item)")
+        ms = 1e3 * dt / n
+        print(f"workers={w}: {n / dt:.2f} items/s ({ms:.1f} ms/item)")
+        if args.interhand:
+            # device budget: BENCH_TRAIN (faithful 195.3 / single-render
+            # 130.7 ms/step, batch 1); DP-8 consumes 8 items per step
+            for name, budget in (("faithful", 195.3), ("single", 130.7)):
+                need1 = ms / budget
+                need8 = ms / (budget / 8.0)
+                print(f"  vs {name} {budget} ms/step: "
+                      f"{need1:.1f} workers at batch 1, "
+                      f"{need8:.1f} at 8-device DP "
+                      f"(host needs >= that many cores)")
 
 
 if __name__ == "__main__":

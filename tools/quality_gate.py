@@ -43,6 +43,15 @@ SWEEPS = {
         {"VANERF_FAR_NET": "0.5", "VANERF_FAR_TAU": "0.02"},
         {"VANERF_FAR_NET": "0.375", "VANERF_FAR_TAU": "0.02"},
     ],
+    # compact re-gate for a new checkpoint (VERDICT r3 item 8): the tau
+    # serving default + the recommended budget tiers of both skip modes
+    "regate": [
+        {"VANERF_FAR_TAU": "0.02"},
+        {"VANERF_FAR_NET": "0.5"},
+        {"VANERF_FAR_NET": "0.375"},
+        {"VANERF_FAR_TNET": "0.5"},
+        {"VANERF_FAR_TNET": "0.375"},
+    ],
     # per-sample skip with nearest-evaluated inheritance (VERDICT r4 #5)
     "far_tnet": [
         {"VANERF_FAR_TNET": "0.5"},
