@@ -37,6 +37,9 @@ def main():
     ap.add_argument("--steps", type=int, default=1500)
     ap.add_argument("--eval_frames", type=int, default=2)
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--eval_only", action="store_true",
+                    help="re-eval final_params.pkl from --out (set "
+                         "VANERF_COMPUTE_DTYPE to probe eval numerics)")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
@@ -69,7 +72,17 @@ def main():
         model, disc, jax.random.PRNGKey(args.seed), batch0, cfg,
         steps_per_epoch=len(ds))
 
-    if args.init_ckpt:
+    if args.eval_only:
+        import pickle
+        with open(os.path.join(args.out, "final_params.pkl"), "rb") as f:
+            saved = pickle.load(f)
+        state = state._replace(
+            params_g=jax.tree.map(
+                lambda c, t: jnp.asarray(c, t.dtype),
+                jax.tree.unflatten(jax.tree.structure(state.params_g),
+                                   jax.tree.leaves(saved["params_g"])),
+                state.params_g))
+    elif args.init_ckpt:
         import torch
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         from convert_reference_ckpt import convert_state_dict
@@ -91,7 +104,7 @@ def main():
     rng = jax.random.PRNGKey(args.seed + 3)
     logf = open(os.path.join(args.out, "metrics.jsonl"), "a")
     t0 = time.time()
-    step = 0
+    step = args.steps if args.eval_only else 0
     while step < args.steps:
         for i in rs.permutation(len(ds)):
             if step >= args.steps:
@@ -133,14 +146,19 @@ def main():
     result = {k: float(np.mean([s[k] for s in scores])) for k in scores[0]}
     result["steps"] = step
     result["wall_s"] = round(time.time() - t0, 1)
-    with open(os.path.join(args.out, "eval.json"), "w") as f:
+    result["compute_dtype"] = model.compute_dtype
+    name = ("eval_" + model.compute_dtype + ".json" if args.eval_only
+            else "eval.json")
+    with open(os.path.join(args.out, name), "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
-    import pickle
-    with open(os.path.join(args.out, "final_params.pkl"), "wb") as f:
-        pickle.dump({"params_g": jax.tree.map(np.asarray, state.params_g),
-                     "params_d": jax.tree.map(np.asarray, state.params_d),
-                     "global_step": step}, f)
+    if not args.eval_only:
+        import pickle
+        with open(os.path.join(args.out, "final_params.pkl"), "wb") as f:
+            pickle.dump(
+                {"params_g": jax.tree.map(np.asarray, state.params_g),
+                 "params_d": jax.tree.map(np.asarray, state.params_d),
+                 "global_step": step}, f)
 
 
 if __name__ == "__main__":
