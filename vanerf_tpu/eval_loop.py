@@ -166,21 +166,31 @@ def _run_test_inner(loader, n, model, state, cfg, save_dir, evaluator,
     # `inference` section > default; renderer.resolve_tier) — every
     # report says which numerics produced it, and a saved config.json
     # reproduces the run when no env override is present
+    # Applied values mirror the renderer's own gating (renderer.py:
+    # 305-384): every tier is OFF under sp_conv / SoA / fused kernels,
+    # and the global-budget tiers additionally need n_views==1 — a
+    # multi-view report must not claim e.g. far_net=0.5 when the run
+    # actually used exact numerics (ADVICE r4).  `*_requested` keeps the
+    # env/config resolution for reproducibility.
     from .renderer import resolve_tier
-    results["far_tau"] = resolve_tier(
-        "VANERF_FAR_TAU", getattr(model, "far_tau", 0.02), False)
-    far_net = resolve_tier("VANERF_FAR_NET",
-                           getattr(model, "far_net", 0.0), False)
-    if far_net:
-        results["far_net"] = far_net
-    far_skip = resolve_tier("VANERF_FAR_SKIP",
-                            getattr(model, "far_skip", 0.0), False)
-    if far_skip:
-        results["far_skip"] = far_skip
-    far_tnet = resolve_tier("VANERF_FAR_TNET",
-                            getattr(model, "far_tnet", 0.0), False)
-    if far_tnet:
-        results["far_tnet"] = far_tnet
+    fused = bool(getattr(model, "sp_conv", False)
+                 or os.environ.get("VANERF_FUSED_MLP"))
+    soa = bool(int(os.environ.get("VANERF_SOA_POINTS", "0") or 0))
+
+    def record(name, env, default, gated_off):
+        req = resolve_tier(env, getattr(model, name, default), False)
+        applied = 0.0 if gated_off else req
+        if req and applied != req:
+            results[f"{name}_requested"] = req
+        if applied or name == "far_tau":
+            results[name] = applied
+
+    record("far_tau", "VANERF_FAR_TAU", 0.02, fused)
+    record("far_skip", "VANERF_FAR_SKIP", 0.0, fused or soa)
+    record("far_net", "VANERF_FAR_NET", 0.0,
+           fused or soa or n_views != 1)
+    record("far_tnet", "VANERF_FAR_TNET", 0.0,
+           fused or soa or n_views != 1)
     step = int(state.step)
     # test_{name}_{epoch}_{step}.yml (ref model.py:110-121)
     path = os.path.join(save_dir,

@@ -116,6 +116,19 @@ def load_mano_pair(mano_dir: str,
     rp = os.path.join(mano_dir, right_name)
     lp = os.path.join(mano_dir, left_name)
     if not (os.path.exists(rp) and os.path.exists(lp)):
+        if os.path.exists(rp) != os.path.exists(lp):
+            # exactly one pkl present: a real hand model silently paired
+            # with a synthetic one would emit garbage meshes for the
+            # missing hand in real-data preprocessing (ADVICE r4)
+            import warnings
+            present = right_name if os.path.exists(rp) else left_name
+            missing = left_name if os.path.exists(rp) else right_name
+            warnings.warn(
+                f"load_mano_pair: found {present} but NOT {missing} in "
+                f"{mano_dir!r}; the missing hand falls back to the "
+                "SYNTHETIC model — real-data preprocessing would emit "
+                "garbage meshes for it. Ship both pkls.",
+                stacklevel=2)
         return {"right": load_mano_model(rp, True),
                 "left": load_mano_model(lp, False)}
     right = _load_mano_pkl(rp, True)

@@ -2,9 +2,20 @@
 
 Parity target: ``SpatialEncoder`` (reference ``src/spatial.py:4-134``).  The
 encoder has no learnable parameters, so it is a plain function here (the
-reference wraps it in an nn.Module only for the buffer).  All 9 ``sp_type``
-variants are supported; the shipped configs use ``rel_z_decay``
+reference wraps it in an nn.Module only for the buffer).  All 10 ``sp_type``
+variants are implemented; the shipped configs use ``rel_z_decay``
 (``configs/vanerf.json:51``).
+
+Model-space variants (``mxyz``/``rel_mxyz``, ref ``spatial.py:95-98,
+125-133``) take the query points through a per-batch model transform
+``T``.  Upstream these are UNREACHABLE as written: the reference never
+puts a ``'T'`` key into ``sp_data`` (``model.py:318-325`` sets
+``hT = None`` and only ever adds ``extrin``/``kpt3d``), so selecting
+them raises KeyError there — and ``rel_mxyz`` additionally references an
+undefined name ``vpt3do`` (NameError; clearly intended ``kpt3do``).
+Here they are real: pass ``model_T`` (B, 4, 4) — the renderer forwards
+``batch['model_T']`` — and ``rel_mxyz`` implements the intended
+keypoint-relative model-space math.
 """
 
 from __future__ import annotations
@@ -141,4 +152,31 @@ class SpatialEncoder:
             dxyz = v[:, :, None] - k[:, None]
             return position_embedding(
                 dxyz.reshape(*dxyz.shape[:2], -1), self.sp_level)
-        return None
+        if t in ("mxyz", "rel_mxyz"):
+            # model-space PE (spatial.py:95-98,125-133): query points
+            # BEFORE view expansion through the model transform, encoded
+            # once per batch row and then view-expanded (view_expand=True
+            # default) — cheaper than encoding the expanded points.
+            if model_T is None:
+                raise ValueError(
+                    f"sp_type '{t}' needs a (B,4,4) model transform: pass "
+                    "model_T (renderer: batch['model_T'])")
+            m = self.scale * (
+                pts @ jnp.swapaxes(model_T[:, :3, :3], -1, -2)
+                + model_T[:, None, :3, 3])
+            if t == "mxyz":
+                out = position_embedding(m, self.sp_level)
+            else:
+                # intended reference math (its `vpt3do` is a NameError;
+                # kpt3d is the only keypoint tensor in scope upstream)
+                assert kpt3d is not None and kpt3d.shape[1] == self.n_kpt
+                km = self.scale * (
+                    kpt3d @ jnp.swapaxes(model_T[:, :3, :3], -1, -2)
+                    + model_T[:, None, :3, 3])
+                dxyz = m[:, :, None] - km[:, None]
+                out = position_embedding(
+                    dxyz.reshape(*dxyz.shape[:2], -1), self.sp_level)
+            return jnp.repeat(out, n_view, axis=0) if n_view != 1 else out
+        raise ValueError(
+            f"unknown sp_type '{t}'; valid: z, ixyz, cxyz, wxyz, mxyz, "
+            "rel_z, rel_z_decay, rel_cxyz, rel_wxyz, rel_mxyz")

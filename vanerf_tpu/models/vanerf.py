@@ -210,7 +210,8 @@ class VANeRF(nn.Module):
               dropout_rng: Optional[jax.Array] = None, bounds=None,
               nn_idx: Optional[jnp.ndarray] = None,
               far_mask: Optional[jnp.ndarray] = None,
-              fused_override: Optional[int] = None):
+              fused_override: Optional[int] = None,
+              model_T: Optional[jnp.ndarray] = None):
         """Evaluate (sdf_channel, radiance, rgb) at world points.
 
         Args:
@@ -386,7 +387,7 @@ class VANeRF(nn.Module):
             # costs ~1 ms/pass of pure HBM traffic otherwise)
             y = self.sp_encoder(
                 v=v, pts=pts, z=z, xy=xy, extrin=cam["extrin"],
-                kpt3d=kpt3d, n_view=n_views,
+                kpt3d=kpt3d, n_view=n_views, model_T=model_T,
                 return_parts=True)                           # 7x(BV, N, 42)
         if y is not None and not isinstance(y, (list, tuple)):
             y = [y]

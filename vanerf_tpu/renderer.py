@@ -54,7 +54,12 @@ def resolve_tier(env_name: str, config_val: float, training: bool) -> float:
     import os
     raw = os.environ.get(env_name, "")
     if raw != "":
-        return float(raw)
+        try:
+            return float(raw)
+        except ValueError:
+            raise ValueError(
+                f"{env_name}={raw!r} is not a number; serving-tier env "
+                "overrides take a float (e.g. 0, 0.02, 0.5)") from None
     return 0.0 if training else float(config_val or 0.0)
 
 
@@ -94,6 +99,69 @@ def inherit_nearest_evaluated(full: jnp.ndarray, ev: jnp.ndarray,
     inh = jnp.take_along_axis(fullr, nb.clip(0)[..., None], axis=2)
     keep = (evr | (nb < 0))[..., None]
     return jnp.where(keep, fullr, inh).reshape(B, Ntot, C)
+
+
+def inherit_nearest_evaluated_select(full: jnp.ndarray, ev: jnp.ndarray,
+                                     z: jnp.ndarray, n_samples: int,
+                                     steps: int = 4) -> jnp.ndarray:
+    """FAR_TNET inheritance via log-shift select fills (VERDICT r4 item 2).
+
+    Same contract as :func:`inherit_nearest_evaluated`, but the
+    (N, C) neighbor GATHER (slow dynamic row-gather on TPU) and the two
+    index scans are replaced by ``steps`` rounds of doubling shifted
+    selects — a 1-D flood fill that carries each source's true z so every
+    cell keeps the genuinely nearest reached source.  After round k the
+    fill radius is 2^k - 1, so ``steps=4`` inherits exactly for any
+    skipped sample whose nearest evaluated neighbor is within 15 slots —
+    in practice nearly all of them (the budget keeps the near-surface
+    samples, which cluster) — and leaves farther samples on the
+    mesh-prior fallback (zero rows), exactly FAR_NET's behavior there.
+    ``2^steps - 1 >= S - 1`` reproduces the exact scan+gather result
+    (equality-tested in tests/test_far_skip.py).
+
+    Everything here is elementwise select/shift on (B, P, S, C) blocks —
+    pure VPU work that XLA fuses; no scatter, no gather, one live copy
+    of the value buffer per round.
+    """
+    B, Ntot, C = full.shape
+    S = n_samples
+    Pn = Ntot // S
+    fullr = full.reshape(B, Pn, S, C)
+    evr = ev.reshape(B, Pn, S)
+    zr = z.reshape(B, Pn, S)
+    inf = jnp.asarray(jnp.inf, zr.dtype)
+
+    val = jnp.where(evr[..., None], fullr, jnp.zeros_like(fullr))
+    src_z = jnp.where(evr, zr, 0.0)
+    best = jnp.where(evr, 0.0, inf)        # |z - src z| of current source
+
+    def shift(x, d, fill):
+        """Shift along the sample axis by d (d>0: value of slot i-d)."""
+        pad_shape = x.shape[:2] + (abs(d),) + x.shape[3:]
+        pad = jnp.full(pad_shape, fill, x.dtype)
+        if d > 0:
+            return jnp.concatenate([pad, x[:, :, :-d]], axis=2)
+        return jnp.concatenate([x[:, :, -d:], pad], axis=2)
+
+    d = 1
+    for _ in range(max(1, steps)):
+        if d >= S:
+            break
+        for sd in (d, -d):
+            c_z = shift(src_z, sd, 0.0)
+            c_best = shift(best, sd, inf)
+            c_val = shift(val, sd, 0.0)
+            cand = jnp.where(jnp.isfinite(c_best),
+                             jnp.abs(zr - c_z), inf)
+            better = cand < best
+            best = jnp.where(better, cand, best)
+            src_z = jnp.where(better, c_z, src_z)
+            val = jnp.where(better[..., None], c_val, val)
+        d *= 2
+    # evaluated rows keep their own outputs; unreached rows are zero in
+    # `val` already (the caller's mesh-prior fallback)
+    out = jnp.where(evr[..., None], fullr, val)
+    return out.reshape(B, Ntot, C)
 
 
 # ---------------------------------------------------------------------------
@@ -429,7 +497,8 @@ def render_patch(model, params, batch: Dict[str, Any], *, rng,
                 batch["src_mask"], verts, vert_vis, q_vis, q_sdf,
                 batch["kpt3d"], n_samples, n_views, training,
                 dropout_rng=drng, bounds=batch["bounds"], nn_idx=nn_idx,
-                far_mask=far_mask, method=model.query)
+                far_mask=far_mask, model_T=batch.get("model_T"),
+                method=model.query)
 
         if fused_train:
             def _apply(params, pts, view, fg, ft, q_vis, q_sdf, nn_idx,
@@ -439,7 +508,8 @@ def render_patch(model, params, batch: Dict[str, Any], *, rng,
                     batch["src_mask"], verts, vert_vis, q_vis, q_sdf,
                     batch["kpt3d"], n_samples, n_views, False,
                     dropout_rng=None, bounds=batch["bounds"],
-                    nn_idx=nn_idx, method=model.query, fused_override=fl)
+                    nn_idx=nn_idx, model_T=batch.get("model_T"),
+                    method=model.query, fused_override=fl)
 
             @jax.custom_vjp
             def _net(params, pts, view, fg, ft, q_vis, q_sdf, nn_idx):
@@ -492,7 +562,8 @@ def render_patch(model, params, batch: Dict[str, Any], *, rng,
                     batch["kpt3d"], kc, n_views, False, dropout_rng=None,
                     bounds=batch["bounds"],
                     nn_idx=sub[..., 8].astype(jnp.int32),
-                    far_mask=far_k, method=model.query)
+                    far_mask=far_k, model_T=batch.get("model_T"),
+                    method=model.query)
                 co = out_k.shape[-1]
                 buf = jnp.concatenate([out_k, valid_k], -1)
                 full = jnp.zeros((B, Ntot, co + 1), buf.dtype)
@@ -500,8 +571,18 @@ def render_patch(model, params, batch: Dict[str, Any], *, rng,
                 full = full.at[bi, sel].set(buf)
                 if inherit:
                     ev = jnp.zeros((B, Ntot), bool).at[bi, sel].set(True)
-                    full = inherit_nearest_evaluated(
-                        full, ev, z_depths.reshape(B, -1), n_samples)
+                    # VANERF_TNET_IMPL: select (default; log-shift fills,
+                    # no gather — VERDICT r4 item 2) | scan (exact
+                    # full-range scan+gather reference)
+                    impl = os.environ.get("VANERF_TNET_IMPL", "select")
+                    if impl == "scan":
+                        full = inherit_nearest_evaluated(
+                            full, ev, z_depths.reshape(B, -1), n_samples)
+                    else:
+                        full = inherit_nearest_evaluated_select(
+                            full, ev, z_depths.reshape(B, -1), n_samples,
+                            steps=int(os.environ.get(
+                                "VANERF_TNET_STEPS", "4") or 4))
                 out, valid = full[..., :co], full[..., co:]
             elif ks:
                 # per-ray budget: select the ks nearest-to-surface samples
@@ -533,7 +614,8 @@ def render_patch(model, params, batch: Dict[str, Any], *, rng,
                     bounds=batch["bounds"],
                     # nearest-vertex ids < 1558 are exact through f32
                     nn_idx=sub[..., 8].astype(jnp.int32),
-                    far_mask=far_k, method=model.query)
+                    far_mask=far_k, model_T=batch.get("model_T"),
+                    method=model.query)
                 co = out_k.shape[-1]
                 buf = jnp.concatenate(
                     [out_k, valid_k], -1).reshape(B, Pn, ks, co + 1)
