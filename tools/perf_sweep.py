@@ -50,6 +50,12 @@ CONFIGS = {
     "fskip50_far02": {"VANERF_FAR_SKIP": "0.5", "VANERF_FAR_TAU": "0.02"},
     "fskip375_far02": {"VANERF_FAR_SKIP": "0.375",
                        "VANERF_FAR_TAU": "0.02"},
+    # per-sample network budget with nearest-evaluated inheritance
+    # (renderer.py VANERF_FAR_TNET); `select` = round-5 log-shift fill
+    # (default), `scan` = the round-4 scan+gather reference impl
+    "tnet50": {"VANERF_FAR_TNET": "0.5"},
+    "tnet375": {"VANERF_FAR_TNET": "0.375"},
+    "tnet50_scan": {"VANERF_FAR_TNET": "0.5", "VANERF_TNET_IMPL": "scan"},
     # cull-granularity sweep: per-patch mesh-query time varies 8.7-16.8 ms
     # with patch content (visit-rate variance), so tile/chunk granularity
     # is the lever on the HARD patches. CULL_CHUNK=32 would exceed the

@@ -52,6 +52,15 @@ SWEEPS = {
         {"VANERF_FAR_TNET": "0.5"},
         {"VANERF_FAR_TNET": "0.375"},
     ],
+    # round-5 TNET inheritance impl A/B: log-shift select fill (default,
+    # reach 2^4-1 = 15 of 128 samples) vs the full-range scan+gather
+    "tnet_impl": [
+        {"VANERF_FAR_TNET": "0.5"},
+        {"VANERF_FAR_TNET": "0.5", "VANERF_TNET_IMPL": "scan"},
+        {"VANERF_FAR_TNET": "0.375"},
+        {"VANERF_FAR_TNET": "0.375", "VANERF_TNET_IMPL": "scan"},
+        {"VANERF_FAR_NET": "0.375"},
+    ],
     # per-sample skip with nearest-evaluated inheritance (VERDICT r4 #5)
     "far_tnet": [
         {"VANERF_FAR_TNET": "0.5"},
@@ -155,6 +164,7 @@ def main():
         for k in ("VANERF_FAR_TAU", "VANERF_FAR_SKIP", "VANERF_FAR_NET",
                   "VANERF_FAR_TNET"):
             os.environ[k] = "0"     # re-pin the exact/off baseline
+        os.environ.pop("VANERF_TNET_IMPL", None)
         dp = float(np.mean([compute_psnr(a[0], e[0])
                             for a, e in zip(approx, exact)]))
         dssim = float(np.mean([compute_ssim_crop(a[0], e[0], e[2])
