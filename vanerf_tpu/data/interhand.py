@@ -97,7 +97,13 @@ class InterHandDataset:
 
         # conditional left-shapedirs fix requires the pair (dataset.py:26-32)
         self.mano = load_mano_pair(osp.join(smplx_path, "mano"))
+        # 21-joint regressor (reference ships it at smplx/models/mano/;
+        # a vendored copy serves as fallback so use_intag_preds works
+        # out of the box)
         jr_path = osp.join(smplx_path, "mano", "J_regressor_mano_ih26m.npy")
+        if not osp.exists(jr_path):
+            jr_path = osp.join(osp.dirname(__file__), "assets",
+                               "J_regressor_mano_ih26m.npy")
         self.joint_regressor = (np.load(jr_path) if osp.exists(jr_path)
                                 else None)
 
