@@ -72,4 +72,21 @@ def make_parallel_train_step(train_step: Callable, mesh: Mesh,
     elif "check_rep" in sig:
         kwargs["check_rep"] = False
     mapped = shard_map(per_shard, **kwargs)
-    return jax.jit(mapped, donate_argnums=(0,))
+    jitted = jax.jit(mapped, donate_argnums=(0,))
+
+    # A restored checkpoint (preemption resume, --model_ckpt) lives on a
+    # SINGLE device: feeding it straight to the jitted shard_map raises
+    # "incompatible devices" (committed single-device arrays vs the
+    # mesh).  Re-place such states replicated onto the mesh once; steady-
+    # state outputs are already mesh-resident and skip the device_put.
+    replicated = NamedSharding(mesh, P())
+    mesh_devices = set(mesh.devices.flat)
+
+    def step(state, batch, rng):
+        leaf = next((x for x in jax.tree.leaves(state)
+                     if isinstance(x, jax.Array)), None)
+        if leaf is not None and set(leaf.sharding.device_set) != mesh_devices:
+            state = jax.device_put(state, replicated)
+        return jitted(state, batch, rng)
+
+    return step
